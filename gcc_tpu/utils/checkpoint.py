@@ -1,0 +1,55 @@
+"""Checkpointing: params + state + cfg in a single msgpack file.
+
+Keeps the reference's checkpoint *contract* (models/Pix2Pix.py:636-658):
+a mapping with network entries ('G', 'D' or 'G_A'/'G_B'/'D_A'/'D_B'),
+'epoch', 'cfg' = (filter_cfgs, channel_cfgs), and the best-metric value —
+so eval can rebuild the pruned topology from the checkpoint alone
+(test.py:140-151). Unlike the reference we also store optimizer state when
+asked, enabling true resume (the reference cannot resume, SURVEY.md §5).
+
+Filenames follow the reference: model_<epoch>.ckpt / model_best_<dir>.ckpt.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, payload: dict) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    data = serialization.msgpack_serialize(_to_numpy(payload))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str) -> dict:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def ckpt_name(save_dir: str, epoch: Optional[int] = None,
+              isbest: bool = False, direction: str = "AtoB") -> str:
+    if isbest:
+        return os.path.join(save_dir, f"model_best_{direction}.ckpt")
+    return os.path.join(save_dir, f"model_{epoch}.ckpt")
+
+
+def restore_cfg(ckpt: dict):
+    """cfg tuple from a checkpoint; msgpack round-trips tuples as lists."""
+    cfg = ckpt.get("cfg")
+    if cfg is None:
+        return (None, None)
+    a, b = cfg
+    to_list = lambda v: None if v is None else [int(x) for x in v]
+    return (to_list(a), to_list(b))

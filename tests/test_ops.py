@@ -1,0 +1,223 @@
+"""Unit tests for core ops: mask STE, GAN losses, gram, layers vs torch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gcc_tpu.ops.mask import mask_from_alpha, MaskGate, clip_alphas
+from gcc_tpu import losses
+from gcc_tpu.ops.layers import (
+    Conv, ConvTranspose, BatchNorm, InstanceNorm, pixel_shuffle, PReLU)
+
+
+class TestMask:
+    def test_forward_values(self):
+        alpha = jnp.array([0.0, 0.4999, 0.5, 0.6, 1.0])
+        m = mask_from_alpha(alpha, jnp.float32(0.5))
+        # sign(0)=0 -> mask 0.5 exactly at threshold (DifferentiableOp.py:26)
+        np.testing.assert_allclose(np.asarray(m), [0.0, 0.0, 0.5, 1.0, 1.0])
+
+    def test_straight_through_gradient(self):
+        # reference Mask.backward passes grad unchanged to alpha
+        alpha = jnp.array([0.2, 0.8, 0.6])
+        x = jnp.array([3.0, 5.0, 7.0])
+
+        def loss(a):
+            return jnp.sum(mask_from_alpha(a, jnp.float32(0.5)) * x)
+
+        g = jax.grad(loss)(alpha)
+        # d(loss)/d(mask) = x, passed through unchanged
+        np.testing.assert_allclose(np.asarray(g), [3.0, 5.0, 7.0])
+
+    def test_gate_module(self):
+        gate = MaskGate(features=4)
+        x = jnp.ones((2, 3, 3, 4))
+        vars_ = gate.init(jax.random.PRNGKey(0), x)
+        assert "arch" in vars_
+        y = gate.apply(vars_, x)
+        np.testing.assert_allclose(np.asarray(y), np.ones((2, 3, 3, 4)))
+        clipped = clip_alphas({"a": jnp.array([-0.5, 1.5, 0.3])})
+        np.testing.assert_allclose(np.asarray(clipped["a"]), [0.0, 1.0, 0.3])
+
+
+class TestGANLoss:
+    def test_lsgan(self):
+        pred = jnp.array([0.5, 1.5])
+        assert float(losses.gan_loss(pred, True, "lsgan")) == pytest.approx(0.25)
+        assert float(losses.gan_loss(pred, False, "lsgan")) == pytest.approx(
+            (0.25 + 2.25) / 2)
+
+    def test_vanilla_matches_bce(self):
+        import torch
+        pred = np.random.RandomState(0).randn(8).astype(np.float32)
+        for real in (True, False):
+            ours = float(losses.gan_loss(jnp.array(pred), real, "vanilla"))
+            t = torch.nn.BCEWithLogitsLoss()(
+                torch.tensor(pred),
+                torch.full((8,), 1.0 if real else 0.0))
+            assert ours == pytest.approx(float(t), rel=1e-4)
+
+    def test_hinge(self):
+        pred = jnp.array([-2.0, 0.5, 2.0])
+        # D real: -mean(min(pred-1, 0)) = -mean([-3, -0.5, 0]) = 7/6
+        assert float(losses.gan_loss(pred, True, "hinge")) == pytest.approx(7 / 6)
+        # D fake: -mean(min(-pred-1, 0)) = -mean([0, -1.5, -3]) = 1.5
+        assert float(losses.gan_loss(pred, False, "hinge")) == pytest.approx(1.5)
+        # G: -mean(pred)
+        assert float(losses.gan_loss(pred, True, "hinge", False)) == pytest.approx(-1 / 6)
+
+    def test_wgangp(self):
+        pred = jnp.array([1.0, 3.0])
+        assert float(losses.gan_loss(pred, True, "wgangp")) == -2.0
+        assert float(losses.gan_loss(pred, False, "wgangp")) == 2.0
+
+
+class TestGram:
+    def test_matches_torch_formula(self, rng):
+        import torch
+        x = rng.randn(2, 5, 6, 3).astype(np.float32)  # NHWC
+        g = np.asarray(losses.gram(jnp.array(x)))
+        xt = torch.tensor(x).permute(0, 3, 1, 2)  # NCHW
+        b, c, h, w = xt.shape
+        f = xt.reshape(b, c, h * w)
+        gt = (f @ f.transpose(1, 2) / (c * h * w)).numpy()
+        np.testing.assert_allclose(g, gt, rtol=1e-5, atol=1e-6)
+
+
+class TestLayersVsTorch:
+    """Op-level parity against torch CPU with identical weights."""
+
+    def test_conv(self, rng):
+        import torch
+        x = rng.randn(2, 8, 8, 3).astype(np.float32)
+        w = rng.randn(4, 4, 3, 5).astype(np.float32) * 0.1  # HWIO
+        b = rng.randn(5).astype(np.float32)
+
+        mod = Conv(5, (4, 4), (2, 2), 1)
+        y = mod.apply({"params": {"kernel": jnp.array(w), "bias": jnp.array(b)}},
+                      jnp.array(x))
+
+        tconv = torch.nn.Conv2d(3, 5, 4, 2, 1)
+        tconv.weight.data = torch.tensor(w).permute(3, 2, 0, 1)  # OIHW
+        tconv.bias.data = torch.tensor(b)
+        yt = tconv(torch.tensor(x).permute(0, 3, 1, 2)).detach().numpy()
+        np.testing.assert_allclose(
+            np.asarray(y).transpose(0, 3, 1, 2), yt, rtol=1e-4, atol=1e-5)
+
+    def test_conv_transpose(self, rng):
+        import torch
+        x = rng.randn(2, 8, 8, 3).astype(np.float32)
+        w = rng.randn(4, 4, 3, 5).astype(np.float32) * 0.1  # HW I O
+        b = rng.randn(5).astype(np.float32)
+
+        mod = ConvTranspose(5, (4, 4), (2, 2), 1)
+        y = mod.apply({"params": {"kernel": jnp.array(w), "bias": jnp.array(b)}},
+                      jnp.array(x))
+        assert y.shape == (2, 16, 16, 5)
+
+        tconv = torch.nn.ConvTranspose2d(3, 5, 4, 2, 1)
+        tconv.weight.data = torch.tensor(w).permute(2, 3, 0, 1)  # torch: (I,O,H,W)
+        tconv.bias.data = torch.tensor(b)
+        yt = tconv(torch.tensor(x).permute(0, 3, 1, 2)).detach().numpy()
+        np.testing.assert_allclose(
+            np.asarray(y).transpose(0, 3, 1, 2), yt, rtol=1e-4, atol=1e-5)
+
+    def test_conv_transpose_output_padding(self, rng):
+        import torch
+        x = rng.randn(1, 7, 7, 2).astype(np.float32)
+        w = rng.randn(3, 3, 2, 4).astype(np.float32) * 0.1
+        mod = ConvTranspose(4, (3, 3), (2, 2), 1, output_padding=1, use_bias=False)
+        y = mod.apply({"params": {"kernel": jnp.array(w)}}, jnp.array(x))
+        tconv = torch.nn.ConvTranspose2d(2, 4, 3, 2, 1, output_padding=1, bias=False)
+        tconv.weight.data = torch.tensor(w).permute(2, 3, 0, 1)
+        yt = tconv(torch.tensor(x).permute(0, 3, 1, 2)).detach().numpy()
+        assert y.shape == (1, 14, 14, 4)
+        np.testing.assert_allclose(
+            np.asarray(y).transpose(0, 3, 1, 2), yt, rtol=1e-4, atol=1e-5)
+
+    def test_batchnorm_train_matches_torch(self, rng):
+        import torch
+        x = rng.randn(4, 5, 5, 3).astype(np.float32)
+        scale = rng.rand(3).astype(np.float32) + 0.5
+        bias = rng.randn(3).astype(np.float32)
+
+        mod = BatchNorm(use_running_average=False)
+        variables = {
+            "params": {"scale": jnp.array(scale), "bias": jnp.array(bias)},
+            "batch_stats": {"mean": jnp.zeros(3), "var": jnp.ones(3)},
+        }
+        y, updated = mod.apply(variables, jnp.array(x), mutable=["batch_stats"])
+
+        tbn = torch.nn.BatchNorm2d(3)
+        tbn.weight.data = torch.tensor(scale)
+        tbn.bias.data = torch.tensor(bias)
+        tbn.train()
+        yt = tbn(torch.tensor(x).permute(0, 3, 1, 2)).detach().numpy()
+        np.testing.assert_allclose(
+            np.asarray(y).transpose(0, 3, 1, 2), yt, rtol=1e-4, atol=1e-5)
+        # running stats (torch: unbiased var, momentum 0.1)
+        np.testing.assert_allclose(
+            np.asarray(updated["batch_stats"]["mean"]),
+            tbn.running_mean.numpy(), rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(updated["batch_stats"]["var"]),
+            tbn.running_var.numpy(), rtol=1e-4, atol=1e-5)
+
+    def test_instancenorm_matches_torch(self, rng):
+        import torch
+        x = rng.randn(2, 6, 6, 4).astype(np.float32)
+        y = InstanceNorm().apply({}, jnp.array(x))
+        tin = torch.nn.InstanceNorm2d(4)
+        yt = tin(torch.tensor(x).permute(0, 3, 1, 2)).numpy()
+        np.testing.assert_allclose(
+            np.asarray(y).transpose(0, 3, 1, 2), yt, rtol=1e-4, atol=1e-5)
+
+    def test_pixel_shuffle_matches_torch(self, rng):
+        import torch
+        x = rng.randn(2, 4, 4, 12).astype(np.float32)
+        y = pixel_shuffle(jnp.array(x), 2)
+        yt = torch.nn.PixelShuffle(2)(
+            torch.tensor(x).permute(0, 3, 1, 2)).numpy()
+        np.testing.assert_allclose(
+            np.asarray(y).transpose(0, 3, 1, 2), yt, rtol=1e-6)
+
+    def test_prelu(self):
+        x = jnp.array([-2.0, 3.0])
+        mod = PReLU()
+        v = mod.init(jax.random.PRNGKey(0), x)
+        y = mod.apply(v, x)
+        np.testing.assert_allclose(np.asarray(y), [-0.5, 3.0])
+
+
+class TestSpectralNorm:
+    def test_sigma_close_to_torch(self, rng):
+        """After many power iterations both converge to top singular value."""
+        import torch
+        from gcc_tpu.ops.spectral import SpectralConv
+        x = rng.randn(1, 8, 8, 3).astype(np.float32)
+        mod = SpectralConv(features=6, kernel_size=(4, 4), strides=(2, 2),
+                           padding=1, power_iterations=30)
+        v = mod.init(jax.random.PRNGKey(0), jnp.array(x))
+        w = np.asarray(v["params"]["kernel"])
+        # top singular value of (out, in*k*k) matricization
+        wm = w.transpose(3, 0, 1, 2).reshape(6, -1)
+        sv = np.linalg.svd(wm, compute_uv=False)[0]
+        y, new_state = mod.apply(v, jnp.array(x), mutable=["spectral"])
+        u = np.asarray(new_state["spectral"]["u"])
+        sigma = u @ wm @ np.asarray(new_state["spectral"]["v"])
+        assert sigma == pytest.approx(sv, rel=1e-3)
+
+
+class TestFlashAttention:
+    def test_matches_einsum(self, rng):
+        from gcc_tpu.ops.pallas.attention import flash_attention
+        q = jnp.array(rng.randn(2, 96, 8).astype(np.float32))
+        k = jnp.array(rng.randn(2, 96, 8).astype(np.float32))
+        v = jnp.array(rng.randn(2, 96, 16).astype(np.float32))
+        ref = jnp.einsum(
+            "bij,bjc->bic",
+            jax.nn.softmax(jnp.einsum("bic,bjc->bij", q, k), axis=-1), v)
+        out = flash_attention(q, k, v, block_q=64, block_k=64, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
