@@ -28,9 +28,13 @@ def _l2normalize(v, eps=1e-12):
 
 
 class _SpectralWeight(nn.Module):
-    """Shared u/v power-iteration logic; subclasses provide the conv."""
+    """Shared u/v power-iteration logic; subclasses provide the conv.
 
-    power_iterations: int = 1
+    power_iterations is declared as the LAST dataclass field on each
+    subclass (not here) so subclass positional args bind features first.
+    """
+
+    power_iterations = 1  # fallback; shadowed by subclass fields
 
     def _normalize(self, w_bar: jax.Array, out_axis: int) -> jax.Array:
         w = jnp.moveaxis(w_bar, out_axis, 0)
@@ -72,6 +76,7 @@ class SpectralConv(_SpectralWeight):
     padding: int = 1
     use_bias: bool = True
     kernel_init: Callable = conv_init()
+    power_iterations: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -103,6 +108,7 @@ class SpectralConvTranspose(_SpectralWeight):
     padding: int = 1
     use_bias: bool = True
     kernel_init: Callable = conv_init()
+    power_iterations: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
