@@ -1,0 +1,220 @@
+"""Shared engine machinery: functional net application, Adam with external
+LR, sparsity gradient injection, distillation helpers, EMA discrepancy.
+
+The reference mutates module state (requires_grad flips, forward hooks,
+in-place grad injection — models/Pix2Pix.py:554-634). Here every train step
+is a pure function: parameter partitions replace requires_grad, sown
+intermediates replace hooks, and gradient transforms replace .grad mutation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from gcc_tpu.losses import gan_loss, gram, l1, mse, sqrt_mse
+
+
+@struct.dataclass
+class GANState:
+    """One engine's full training state (student + optional online teacher).
+
+    Pytree-of-arrays; fields unused by a configuration are None. `nets` maps
+    name -> {'params':..., <collection>:...}; `opts` maps name -> optax state;
+    `ema` holds teacher-discrepancy EMA scalars (models/Pix2Pix.py:503-510).
+    """
+
+    step: jnp.ndarray
+    nets: Dict[str, Any]
+    opts: Dict[str, Any]
+    ema: Dict[str, jnp.ndarray]
+    rng: jax.Array
+
+
+def apply_net(module, variables: Dict[str, Any], *args,
+              train: bool = True, capture: bool = False,
+              rngs=None, update_stats: bool = True):
+    """Functionally apply a Flax module.
+
+    variables: {'params':..., 'batch_stats':..., 'spectral':..., 'arch':...}
+    Returns (out, new_variables, feats) where feats is the ordered list of
+    sown intermediates (g_feat_*/d_feat_*) and new_variables carries updated
+    mutable collections (batch_stats / spectral) when train & update_stats.
+    """
+    mutable = []
+    if train and update_stats:
+        mutable += [c for c in ("batch_stats", "spectral") if c in variables]
+    if capture:
+        mutable.append("intermediates")
+    if mutable:
+        out, mut = module.apply(variables, *args, train=train,
+                                mutable=mutable, rngs=rngs)
+    else:
+        out = module.apply(variables, *args, train=train, rngs=rngs)
+        mut = {}
+    new_vars = dict(variables)
+    for k, v in mut.items():
+        if k != "intermediates":
+            new_vars[k] = v
+    feats = []
+    if capture and "intermediates" in mut:
+        inter = mut["intermediates"]
+        for key in sorted(inter.keys()):
+            feats.append(inter[key][0])
+    return out, new_vars, feats
+
+
+# ---------------------------------------------------------------------------
+# Optimization
+# ---------------------------------------------------------------------------
+
+def make_adam(b1: float = 0.9, b2: float = 0.999):
+    """Adam direction (torch-equivalent); LR applied externally per step so
+    epoch schedules need no optimizer rebuild (utils/util.py:288-303)."""
+    return optax.scale_by_adam(b1=b1, b2=b2, eps=1e-8)
+
+
+def adam_step(tx, grads, opt_state, params, lr):
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = jax.tree_util.tree_map(
+        lambda p, u: p - lr * u.astype(p.dtype), params, updates)
+    return params, opt_state
+
+
+# ---------------------------------------------------------------------------
+# L1 sparsity gradient injection (models/Pix2Pix.py:554-563)
+# ---------------------------------------------------------------------------
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", k)) for k in path)
+
+
+def add_sign_sparsity(grads, params, lambda_weight: float,
+                      lambda_scale: float, weight_scale_fn=None):
+    """grad += lambda * sign(w) on conv kernels (lambda_weight) or norm scales
+    (lambda_scale). weight_scale_fn(path_str) -> extra multiplier implements
+    CycleGAN's heavy_sparsity weighting (CycleGAN.py:539-559)."""
+    if lambda_weight <= 0.0 and lambda_scale <= 0.0:
+        return grads
+
+    def upd(path, g, p):
+        name = _path_str(path)
+        leaf = name.rsplit("/", 1)[-1]
+        if lambda_weight > 0.0 and leaf == "kernel":
+            lam = lambda_weight
+            if weight_scale_fn is not None:
+                lam = lam * weight_scale_fn(name)
+            return g + lam * jnp.sign(p)
+        if lambda_scale > 0.0 and leaf == "scale" and (
+                "norm" in name or "bn" in name):
+            return g + lambda_scale * jnp.sign(p)
+        return g
+
+    return jax.tree_util.tree_map_with_path(upd, grads, params)
+
+
+def cyclegan_heavy_sparsity(name: str) -> float:
+    """1000x on the first upsample deconv, 2x on stem/downs-ups listed in
+    heavy_sparsity (CycleGAN.py:245, 544-559)."""
+    if name.startswith("up_0/"):
+        return 1000.0
+    for prefix in ("conv_in/", "down_0/", "up_1/"):
+        if name.startswith(prefix):
+            return 2.0
+    return 1.0
+
+
+# ---------------------------------------------------------------------------
+# Distillation (models/Pix2Pix.py:528-548)
+# ---------------------------------------------------------------------------
+
+def distill_losses(feats: List[jax.Array], targets: List[jax.Array],
+                   use_sqrt: bool = True) -> Tuple[jax.Array, jax.Array]:
+    """Content + gram sums over paired features; targets stop-gradiented.
+    pix2pix/sagan/srgan use sqrt(MSE); cyclegan plain MSE (CycleGAN.py:513)."""
+    err = sqrt_mse if use_sqrt else mse
+    content = jnp.float32(0.0)
+    gram_l = jnp.float32(0.0)
+    for f, t in zip(feats, targets):
+        t = jax.lax.stop_gradient(t)
+        content = content + err(f, t)
+        gram_l = gram_l + err(gram(f), gram(t))
+    return content, gram_l
+
+
+# ---------------------------------------------------------------------------
+# Teacher discrepancy EMA (models/Pix2Pix.py:489-511)
+# ---------------------------------------------------------------------------
+
+def discrepancy(pred_fake: jax.Array, gan_mode: str) -> jax.Array:
+    """|GANLoss(pred_fake, True, G-side) - GANLoss(pred_fake, False, D-side)|
+    — how far D's judgment of fakes is from 'real'."""
+    fake_real = gan_loss(pred_fake, True, gan_mode, for_discriminator=False)
+    fake = gan_loss(pred_fake, False, gan_mode, for_discriminator=True)
+    return jnp.abs(fake_real - fake)
+
+
+def ema_update(prev: jax.Array, new: jax.Array, beta) -> jax.Array:
+    """EMA with first-call bootstrap: prev==0 means uninitialized
+    (models/Pix2Pix.py:503-510)."""
+    return jnp.where(prev == 0.0, new, beta * new + (1.0 - beta) * prev)
+
+
+def metrics_mean(d: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    return {k: jnp.asarray(v, jnp.float32) for k, v in d.items()}
+
+
+# ---------------------------------------------------------------------------
+# Device-resident replay pool (utils/image_pool.py:23-54, TPU-native)
+# ---------------------------------------------------------------------------
+
+def pool_init(pool_size: int, image_shape, dtype=jnp.float32):
+    """Replay-pool state: zero buffer + fill count. Lives in the train state
+    so the whole step stays one compiled program (the reference's ImagePool
+    is host-side python with data-dependent branching)."""
+    return {"buffer": jnp.zeros((pool_size,) + tuple(image_shape), dtype),
+            "count": jnp.int32(0)}
+
+
+def pool_query(pool: Dict[str, jax.Array], images: jax.Array,
+               rng: jax.Array):
+    """Sequential semantics of ImagePool.query: fill until full; then with
+    p=0.5 swap in the new image and return a historical one, else return the
+    new image. Returns (new_pool, out_images)."""
+    buf, cnt = pool["buffer"], pool["count"]
+    p = buf.shape[0]
+    if p == 0:
+        return pool, images
+
+    def body(i, carry):
+        buf, cnt, out, key = carry
+        key, k1, k2 = jax.random.split(key, 3)
+        img = jax.lax.dynamic_index_in_dim(images, i, keepdims=False)
+
+        def insert(buf, cnt):
+            return (jax.lax.dynamic_update_index_in_dim(buf, img, cnt, 0),
+                    cnt + 1, img)
+
+        def maybe_swap(buf, cnt):
+            swap = jax.random.uniform(k1) > 0.5
+            idx = jax.random.randint(k2, (), 0, p)
+            old = jax.lax.dynamic_index_in_dim(buf, idx, keepdims=False)
+            new_buf = jax.lax.cond(
+                swap,
+                lambda: jax.lax.dynamic_update_index_in_dim(buf, img, idx, 0),
+                lambda: buf)
+            return new_buf, cnt, jnp.where(swap, old, img)
+
+        buf, cnt, ret = jax.lax.cond(cnt < p, insert, maybe_swap, buf, cnt)
+        out = jax.lax.dynamic_update_index_in_dim(out, ret, i, 0)
+        return buf, cnt, out, key
+
+    out0 = jnp.zeros_like(images)
+    buf, cnt, out, _ = jax.lax.fori_loop(
+        0, images.shape[0], body, (buf, cnt, out0, rng))
+    return {"buffer": buf, "count": cnt}, out

@@ -73,7 +73,6 @@ class Conv(nn.Module):
             window_strides=self.strides, padding=pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.feature_group_count,
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -116,7 +115,6 @@ class ConvTranspose(nn.Module):
             padding=((lo, hi), (lo, hi)),
             lhs_dilation=self.strides,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -154,7 +152,8 @@ class BatchNorm(nn.Module):
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=(0, 1, 2))
             var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
-            if not self.is_initializing():
+            if (not self.is_initializing()
+                    and self.is_mutable_collection("batch_stats")):
                 n = x.shape[0] * x.shape[1] * x.shape[2]
                 unbias = n / max(n - 1, 1)  # torch stores unbiased running var
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean

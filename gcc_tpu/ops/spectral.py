@@ -87,8 +87,7 @@ class SpectralConv(_SpectralWeight):
         pad = ((self.padding, self.padding),) * 2
         y = jax.lax.conv_general_dilated(
             x, w.astype(x.dtype), self.strides, pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32).astype(x.dtype)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b.astype(y.dtype)
@@ -120,8 +119,7 @@ class SpectralConvTranspose(_SpectralWeight):
         y = jax.lax.conv_general_dilated(
             x, jnp.flip(w, axis=(0, 1)).astype(x.dtype), (1, 1),
             ((lo, lo), (lo, lo)), lhs_dilation=self.strides,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32).astype(x.dtype)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b.astype(y.dtype)
