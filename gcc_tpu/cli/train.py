@@ -1,0 +1,251 @@
+"""Training entry point — the reference train.py workflow (train.py:75-174).
+
+Workflow: parse flags -> build engine (pruning the generator to the MACs
+budget first when --scale_prune/--norm_prune) -> loaders -> epoch loop:
+per-iteration cooperative train step (teacher+student), optional DARTS arch
+step on a val batch, periodic loss logging, epoch-end eval -> best-checkpoint
+tracking, sparsity report, LR/ema schedules.
+
+Same flag surface as the reference CLI; see scripts in the reference repo
+for the canonical bundles. Additional TPU-native knobs: --mesh_shape,
+--compute_dtype, --seed.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def build_engine(cfg, logger=None):
+    """Engine + pruned cfgs, mirroring train.py:84-91 + prune_util.prune."""
+    import jax
+    from gcc_tpu import compress
+    from gcc_tpu.models import get_engine_class
+    from gcc_tpu.utils.checkpoint import load_checkpoint
+
+    log = logger.info if logger else print
+    engine_cls = get_engine_class(cfg.model)
+
+    if not (cfg.norm_prune or cfg.scale_prune):
+        return engine_cls(cfg)
+
+    if cfg.target_budget is None:
+        raise RuntimeError("the target budget must exist")
+    if cfg.pretrain_path is None:
+        raise RuntimeError("the pretrain path must exist")
+    ckpt = load_checkpoint(cfg.pretrain_path)
+    tol = compress.prune.tolerance_for(cfg.dataroot)
+    mode = "scale" if cfg.scale_prune else "norm"
+
+    if "cyclegan" in cfg.model:
+        ga = ckpt["G_A"]["params"]
+        gb = ckpt["G_B"]["params"]
+        if "horse2zebra" in cfg.dataroot:
+            # the reference overrides its own search with these cfgs
+            # (utils/prune_util.py:120-121)
+            cfg_a, cfg_b = compress.cyclegan_reference_cfgs()
+        else:
+            cfg_a, _ = compress.prune_mobile_resnet(
+                ga, target_budget_g=cfg.target_budget, tolerance_g=0.05,
+                image_size=cfg.load_size)
+            cfg_b, _ = compress.prune_mobile_resnet(
+                gb, target_budget_g=cfg.target_budget_B, tolerance_g=0.05,
+                image_size=cfg.load_size)
+        log(f"pruned cfg_AtoB: {cfg_a}")
+        log(f"pruned cfg_BtoA: {cfg_b}")
+        return engine_cls(cfg, cfg_AtoB=cfg_a, cfg_BtoA=cfg_b)
+
+    g_params = ckpt["G"]["params"]
+    if cfg.model == "sagan":
+        fc, g = compress.prune_sagan(g_params,
+                                     target_budget_g=cfg.target_budget,
+                                     tolerance_g=tol, z_dim=cfg.z_dim,
+                                     image_size=cfg.crop_size)
+        log(f"pruned filter_cfgs: {fc} ({g:.6f} GMACs)")
+        return engine_cls(cfg, filter_cfgs=fc)
+    if cfg.model == "srgan":
+        fc, g = compress.prune_srresnet(
+            g_params, mode=mode, n_channels=cfg.ngf,
+            target_budget_g=cfg.target_budget, tolerance_g=tol,
+            lr_size=cfg.image_size // cfg.upscale_factor)
+        log(f"pruned filter_cfgs: {fc} ({g:.6f} GMACs)")
+        return engine_cls(cfg, filter_cfgs=fc)
+    # pix2pix
+    fc, cc, g = compress.prune_unet(
+        g_params, mode=mode, ngf=cfg.pretrain_ngf or cfg.ngf,
+        target_budget_g=cfg.target_budget, tolerance_g=tol,
+        num_downs=cfg.num_downs, image_size=cfg.load_size)
+    log(f"pruned filter_cfgs: {fc}")
+    log(f"pruned channel_cfgs: {cc} ({g:.6f} GMACs)")
+    return engine_cls(cfg, filter_cfgs=fc, channel_cfgs=cc)
+
+
+def set_input(cfg, batch):
+    """Direction swap (models/Pix2Pix.py:453-458) + numpy->device dict."""
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray):
+            out[k] = jnp.asarray(v, dtype)
+    if "A" in out and cfg.direction == "BtoA":
+        out["A"], out["B"] = out["B"], out["A"]
+    return out
+
+
+def evaluate(cfg, engine, state, logger, epoch):
+    """Epoch-end metric (train.py:14-73). Full FID/mIoU need ported evaluator
+    weights (--inception_path / --drn_path); without them a proxy metric is
+    reported so best-checkpoint tracking still works."""
+    from gcc_tpu.eval.orchestrators import evaluate_engine
+    return evaluate_engine(cfg, engine, state, logger, epoch)
+
+
+def main(argv=None) -> int:
+    from gcc_tpu import config as config_mod
+    cfg = config_mod.parse(argv)
+    return run(cfg)
+
+
+def run(cfg) -> int:
+    import jax
+    from gcc_tpu.data import create_split_dataset
+    from gcc_tpu.data.loader import InfiniteLoader
+    from gcc_tpu.parallel import make_mesh, replicate_state, shard_batch
+    from gcc_tpu.utils.best_info import BestInfo
+    from gcc_tpu.utils.checkpoint import ckpt_name, save_checkpoint
+    from gcc_tpu.utils.logging import JsonlWriter, get_logger
+    from gcc_tpu.utils.schedule import ema_beta_for_epoch, lr_for_epoch, \
+        multiplier_after_steps
+    from gcc_tpu.ops.mask import sparsity_report
+
+    run_dir = os.path.join(cfg.checkpoints_dir, cfg.name)
+    os.makedirs(run_dir, exist_ok=True)
+    logger = get_logger(os.path.join(run_dir, "logger.log"))
+    jsonl = JsonlWriter(os.path.join(run_dir, "metrics.jsonl")) \
+        if cfg.log_jsonl else None
+    best = BestInfo(cfg)
+
+    engine = build_engine(cfg, logger)
+    state = engine.init_state(jax.random.PRNGKey(cfg.seed))
+
+    if cfg.initial_path:
+        from gcc_tpu.utils.checkpoint import load_checkpoint
+        state = engine.load_net_params(state, load_checkpoint(cfg.initial_path),
+                                       load_discriminator=False)
+        logger.info(f"loaded initial G from {cfg.initial_path}")
+    if cfg.teacher_initial_path and engine.distill:
+        from gcc_tpu.utils.checkpoint import load_checkpoint
+        tck = load_checkpoint(cfg.teacher_initial_path)
+        nets = dict(state.nets)
+        nets["tg"] = tck["G"]
+        state = state.replace(nets=nets)
+        logger.info(f"loaded teacher G from {cfg.teacher_initial_path}")
+
+    # data-parallel mesh: as many devices as divide the batch size
+    n_dev = len(jax.devices())
+    if cfg.mesh_shape:
+        n_dev = int(np.prod(cfg.mesh_shape))
+    while cfg.batch_size % n_dev != 0:
+        n_dev -= 1
+    mesh = make_mesh(n_dev)
+    state = replicate_state(state, mesh)
+
+    train_loader, val_loader = create_split_dataset(cfg, seed=cfg.seed)
+    val_stream = InfiniteLoader(val_loader)
+    logger.info(f"The number of training images = "
+                f"{len(train_loader.dataset)}")
+    logger.info(f"mesh: {mesh.shape}")
+
+    total_epochs = cfg.n_epochs + cfg.n_epochs_decay
+    total_iters = 0
+    current_perf = None
+    for epoch in range(cfg.epoch_count, total_epochs + 1):
+        epoch_start = time.time()
+        lr = lr_for_epoch(cfg, epoch)
+        ema_beta = ema_beta_for_epoch(cfg, epoch)
+        arch_lr = cfg.arch_lr
+        if cfg.arch_lr_step:
+            decay_iters = 40 if cfg.model == "sagan" else cfg.n_epochs - 1
+            arch_lr = cfg.arch_lr * multiplier_after_steps(
+                "step", max(epoch - cfg.epoch_count, 0),
+                lr_decay_iters=decay_iters)
+
+        for i, data in enumerate(train_loader):
+            iter_start = time.time()
+            batch = set_input(cfg, data)
+            batch = shard_batch(batch, mesh)
+            state, losses = engine.train_step(state, batch, lr)
+            if cfg.darts_discriminator and engine.distill:
+                val_batch = shard_batch(set_input(cfg, next(val_stream)),
+                                        mesh)
+                state, arch_losses = engine.arch_step(state, val_batch,
+                                                      ema_beta, arch_lr)
+                losses = {**losses, **arch_losses}
+            total_iters += cfg.batch_size
+
+            if total_iters % cfg.print_freq < cfg.batch_size:
+                vals = {k: float(v) for k, v in losses.items()}
+                t_comp = (time.time() - iter_start) / cfg.batch_size
+                msg = " ".join(f"{k}: {v:.3f}" for k, v in vals.items())
+                logger.info(f"(epoch: {epoch}, iters: {total_iters}, "
+                            f"time: {t_comp:.3f}) {msg}")
+                if jsonl:
+                    jsonl.write({"epoch": epoch, "iters": total_iters,
+                                 "lr": lr, **vals})
+
+        if epoch % cfg.save_epoch_freq == 0:
+            current_perf = evaluate(cfg, engine, state, logger, epoch)
+            _save_best(cfg, engine, state, best, current_perf, epoch, logger)
+            if epoch == total_epochs:
+                save_checkpoint(
+                    ckpt_name(os.path.join(run_dir, "checkpoints"), epoch),
+                    engine.checkpoint_payload(state, epoch, current_perf))
+        if cfg.darts_discriminator:
+            for name, ratio in sparsity_report(
+                    _arch_trees(state)).items():
+                logger.info(f"{name} sparsity ratio: {ratio:.2f}")
+        logger.info(f"End of epoch {epoch} / {total_epochs} \t "
+                    f"Time Taken: {int(time.time() - epoch_start)} sec \t "
+                    f"lr: {lr:.7f} ema_beta: {ema_beta:.4f}")
+    logger.info(best.summary())
+    return 0
+
+
+def _arch_trees(state):
+    trees = {}
+    for k in ("d", "d_a", "d_b"):
+        if k in state.nets and isinstance(state.nets[k], dict) \
+                and "arch" in state.nets[k]:
+            trees[k] = state.nets[k]["arch"]
+    return trees
+
+
+def _save_best(cfg, engine, state, best, perf, epoch, logger):
+    """Best-metric checkpointing (train.py:14-73)."""
+    import os as _os
+    from gcc_tpu.utils.checkpoint import ckpt_name, save_checkpoint
+    save_dir = _os.path.join(cfg.checkpoints_dir, cfg.name, "checkpoints")
+    if perf is None:
+        return
+    if isinstance(perf, dict):  # named metrics (srgan sets / cyclegan dirs)
+        for i, (name, value) in enumerate(perf.items()):
+            if best.update(value, epoch, index=min(i, len(best.best_metric) - 1)):
+                save_checkpoint(
+                    ckpt_name(save_dir, isbest=True, direction=name),
+                    engine.checkpoint_payload(state, epoch, value))
+                logger.info(f"saving best [{name}] at epoch {epoch}: {value:.4f}")
+    else:
+        if best.update(float(perf), epoch):
+            save_checkpoint(
+                ckpt_name(save_dir, isbest=True, direction=cfg.direction),
+                engine.checkpoint_payload(state, epoch, float(perf)))
+            logger.info(f"saving best model at epoch {epoch}: {perf:.4f}")
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

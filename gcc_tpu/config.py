@@ -146,6 +146,7 @@ class Config:
 def apply_presets(cfg: Config) -> Config:
     """Per-model default overrides, mirroring options/options.py:164-228."""
     c = cfg
+    synthetic = c.dataset_mode == "synthetic"
     if c.model in ("pix2pix", "newpix2pix"):
         c = c.replace(norm="batch", dataset_mode="aligned", no_flip=True,
                       load_size=256, pool_size=0, teacher_ndf=128, lambda_L1=100.0)
@@ -181,6 +182,8 @@ def apply_presets(cfg: Config) -> Config:
     if c.lambda_weight > 0 or c.lambda_scale > 0:
         c = c.replace(n_epochs=c.n_epochs // 10,
                       n_epochs_decay=c.n_epochs_decay // 10)
+    if synthetic:  # synthetic data survives the per-model preset
+        c = c.replace(dataset_mode="synthetic")
     return c
 
 
@@ -203,16 +206,19 @@ def build_parser() -> argparse.ArgumentParser:
         elif f.name == "mesh_shape":
             p.add_argument(flag, type=str, default=None)
         else:
-            typ = {int: int, float: float, str: str}.get(f.type if isinstance(f.type, type) else str, None)
+            # annotations are strings under `from __future__ import
+            # annotations`; resolve by name
+            ann = f.type if isinstance(f.type, str) else getattr(
+                f.type, "__name__", str(f.type))
+            if "int" in ann and "Optional" not in ann:
+                typ = int
+            elif "float" in ann or f.name in (
+                    "target_budget", "target_budget_B", "max_dataset_size",
+                    "ntest"):
+                typ = float
+            else:
+                typ = str
             default = f.default if f.default is not dataclasses.MISSING else None
-            if typ is None:
-                # Optional[str]/Optional[float] etc.: infer from default or use str
-                if f.name in ("target_budget", "target_budget_B"):
-                    typ = float
-                elif f.name in ("max_dataset_size", "ntest"):
-                    typ = float
-                else:
-                    typ = str
             p.add_argument(flag, type=typ, default=default)
     # legacy alias accepted but ignored (reference: --gpu_ids)
     p.add_argument("--gpu_ids", type=str, default="0")

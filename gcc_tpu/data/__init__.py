@@ -1,0 +1,65 @@
+"""Dataset registry + loader factories (data/__init__.py:18-91).
+
+`dataset_mode` strings map to classes; `synthetic` (or a missing/empty
+dataroot) selects procedural data so the pipeline runs without downloads.
+
+create_split_dataset mirrors the reference contract of returning
+(train, val) loaders built from the same config (data/__init__.py:52-58 —
+the reference's "split" is two loaders over the SAME data unless the dataset
+honors split_dataset); the val loader gets a different shuffle seed so the
+darts arch step sees differently-ordered batches, as the torch version's
+independent DataLoader shuffling does.
+"""
+
+from __future__ import annotations
+
+import os
+
+from gcc_tpu.data.datasets import (
+    AlignedDataset, SADataset, SRDataset, SyntheticDataset, UnalignedDataset,
+)
+from gcc_tpu.data.loader import InfiniteLoader, Loader
+
+DATASETS = {
+    "aligned": AlignedDataset,
+    "unaligned": UnalignedDataset,
+    "sa": SADataset,
+    "sr": SRDataset,
+    "synthetic": SyntheticDataset,
+}
+
+
+def find_dataset_using_name(name: str):
+    if name not in DATASETS:
+        raise NotImplementedError(
+            f"dataset mode [{name}] is not implemented "
+            f"(available: {sorted(DATASETS)})")
+    return DATASETS[name]
+
+
+def build_dataset(cfg, seed: int = 0, **kw):
+    mode = cfg.dataset_mode
+    if mode != "synthetic" and (not cfg.dataroot
+                                or not os.path.isdir(cfg.dataroot)):
+        raise FileNotFoundError(
+            f"dataroot [{cfg.dataroot}] does not exist; pass a valid "
+            f"--dataroot or use --dataset_mode synthetic")
+    return find_dataset_using_name(mode)(cfg, seed=seed, **kw)
+
+
+def create_dataset(cfg, seed: int = 0, drop_last: bool = False) -> Loader:
+    ds = build_dataset(cfg, seed=seed)
+    return Loader(ds, cfg.batch_size, shuffle=not cfg.serial_batches,
+                  num_threads=cfg.num_threads, prefetch=cfg.prefetch,
+                  seed=seed, drop_last=drop_last)
+
+
+def create_split_dataset(cfg, seed: int = 0):
+    # drop_last keeps train batch shapes static: one compiled step, no
+    # retrace on a ragged final batch (the torch loader pays that cost)
+    train = create_dataset(cfg, seed=seed, drop_last=cfg.batch_size > 1)
+    val = Loader(build_dataset(cfg, seed=seed + 1), cfg.batch_size,
+                 shuffle=not cfg.serial_batches,
+                 num_threads=cfg.num_threads, prefetch=cfg.prefetch,
+                 seed=seed + 1, drop_last=cfg.batch_size > 1)
+    return train, val

@@ -1,0 +1,93 @@
+"""Batching loader with threaded decode and host->device prefetch.
+
+Replaces torch DataLoader (data/__init__.py:61-91): per-epoch shuffle unless
+serial_batches, num_threads decode workers (PIL releases the GIL for the
+heavy work), and a small prefetch queue that overlaps the next batch's
+host work with device compute.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as futures
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def collate(samples: List[Dict]) -> Dict:
+    out = {}
+    for k in samples[0]:
+        v0 = samples[0][k]
+        if isinstance(v0, np.ndarray):
+            out[k] = np.stack([s[k] for s in samples])
+        else:
+            out[k] = [s[k] for s in samples]
+    return out
+
+
+class Loader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 num_threads: int = 4, prefetch: int = 2, seed: int = 0,
+                 drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_threads = max(1, num_threads)
+        self.prefetch = max(1, prefetch)
+        self.rng = np.random.RandomState(seed)
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self) -> List[np.ndarray]:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        batches = [idx[i:i + self.batch_size]
+                   for i in range(0, len(idx), self.batch_size)]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
+    def __iter__(self) -> Iterator[Dict]:
+        batches = self._index_batches()
+        with futures.ThreadPoolExecutor(self.num_threads) as pool:
+            pending = []
+            it = iter(batches)
+
+            def submit_next():
+                try:
+                    b = next(it)
+                except StopIteration:
+                    return False
+                pending.append(pool.submit(
+                    lambda idxs: collate([self.dataset[i] for i in idxs]), b))
+                return True
+
+            for _ in range(self.prefetch):
+                if not submit_next():
+                    break
+            while pending:
+                fut = pending.pop(0)
+                submit_next()
+                yield fut.result()
+
+
+class InfiniteLoader:
+    """Endless batch stream (the reference re-creates val iterators per epoch,
+    train.py:131; the darts val stream here just cycles)."""
+
+    def __init__(self, loader: Loader):
+        self.loader = loader
+        self._it = iter(loader)
+
+    def __next__(self) -> Dict:
+        try:
+            return next(self._it)
+        except StopIteration:
+            self._it = iter(self.loader)
+            return next(self._it)

@@ -323,10 +323,13 @@ class CycleGANEngine:
 
     # -------------------------------------------------------------- arch step
 
-    def arch_step(self, state, batch, ema_beta):
-        return self._jit_arch(state, batch, jnp.float32(ema_beta))
+    def arch_step(self, state, batch, ema_beta, arch_lr: float = None):
+        if arch_lr is None:
+            arch_lr = self.cfg.arch_lr
+        return self._jit_arch(state, batch, jnp.float32(ema_beta),
+                              jnp.float32(arch_lr))
 
-    def _arch_step(self, state, batch, ema_beta):
+    def _arch_step(self, state, batch, ema_beta, arch_lr):
         cfg = self.cfg
         A, B = batch["A"], batch["B"]
         nets = dict(state.nets)
@@ -377,7 +380,7 @@ class CycleGANEngine:
         (_, (da_vars, db_vars, la, lb, disc_a, disc_b)), ga = \
             jax.value_and_grad(arch_loss, has_aux=True)(alphas)
         new_alphas, opts["arch"] = adam_step(self.tx_arch, ga, opts["arch"],
-                                             alphas, jnp.float32(cfg.arch_lr))
+                                             alphas, arch_lr)
         nets["d_a"] = {**da_vars, "arch": new_alphas["d_a"]}
         nets["d_b"] = {**db_vars, "arch": new_alphas["d_b"]}
 

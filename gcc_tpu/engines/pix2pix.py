@@ -268,10 +268,14 @@ class Pix2PixEngine:
     # -------------------------------------------------------------- arch step
 
     def arch_step(self, state: GANState, batch: Dict[str, jax.Array],
-                  ema_beta: float) -> Tuple[GANState, Dict[str, jax.Array]]:
-        return self._jit_arch(state, batch, jnp.float32(ema_beta))
+                  ema_beta: float, arch_lr: float = None
+                  ) -> Tuple[GANState, Dict[str, jax.Array]]:
+        if arch_lr is None:
+            arch_lr = self.cfg.arch_lr
+        return self._jit_arch(state, batch, jnp.float32(ema_beta),
+                              jnp.float32(arch_lr))
 
-    def _arch_step(self, state, batch, ema_beta):
+    def _arch_step(self, state, batch, ema_beta, arch_lr):
         """clipping_mask_alpha + optimizer_netD_arch on a val batch
         (train.py:147-151, Pix2Pix.py:479-511, 585-593)."""
         cfg = self.cfg
@@ -314,7 +318,7 @@ class Pix2PixEngine:
         (loss_arch, (d_vars, s_disc)), ga = jax.value_and_grad(
             arch_loss, has_aux=True)(alphas)
         new_alphas, opts["arch"] = adam_step(self.tx_arch, ga, opts["arch"],
-                                             alphas, jnp.float32(cfg.arch_lr))
+                                             alphas, arch_lr)
         nets["d"] = {**d_vars, "arch": new_alphas}
 
         new_state = GANState(step=state.step, nets=nets, opts=opts, ema=ema,

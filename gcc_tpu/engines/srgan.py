@@ -276,10 +276,13 @@ class SRGANEngine:
 
     # -------------------------------------------------------------- arch step
 
-    def arch_step(self, state, batch, ema_beta):
-        return self._jit_arch(state, batch, jnp.float32(ema_beta))
+    def arch_step(self, state, batch, ema_beta, arch_lr: float = None):
+        if arch_lr is None:
+            arch_lr = self.cfg.arch_lr
+        return self._jit_arch(state, batch, jnp.float32(ema_beta),
+                              jnp.float32(arch_lr))
 
-    def _arch_step(self, state, batch, ema_beta):
+    def _arch_step(self, state, batch, ema_beta, arch_lr):
         cfg = self.cfg
         lr_img, hr_img = batch["lr"], batch["hr"]
         real_in = to_imagenet_norm(hr_img)
@@ -314,7 +317,7 @@ class SRGANEngine:
         (loss_arch, (d_vars, s_disc)), ga = jax.value_and_grad(
             arch_loss, has_aux=True)(alphas)
         new_alphas, opts["arch"] = adam_step(self.tx_arch, ga, opts["arch"],
-                                             alphas, jnp.float32(cfg.arch_lr))
+                                             alphas, arch_lr)
         nets["d"] = {**d_vars, "arch": new_alphas}
         new_state = GANState(step=state.step, nets=nets, opts=opts, ema=ema,
                              rng=state.rng)

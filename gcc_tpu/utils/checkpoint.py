@@ -21,7 +21,14 @@ from flax import serialization
 
 
 def _to_numpy(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """numpy-ify leaves; tuples become lists (msgpack has no tuple type)."""
+    if isinstance(tree, (list, tuple)):
+        return [_to_numpy(v) for v in tree]
+    if isinstance(tree, dict):
+        return {k: _to_numpy(v) for k, v in tree.items()}
+    if tree is None or isinstance(tree, (int, float, str, bool, bytes)):
+        return tree
+    return np.asarray(tree)
 
 
 def save_checkpoint(path: str, payload: dict) -> None:

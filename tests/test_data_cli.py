@@ -1,0 +1,152 @@
+"""Data pipeline + CLI end-to-end tests (synthetic data, tiny configs)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from gcc_tpu.config import Config, parse
+from gcc_tpu.data import create_dataset, create_split_dataset
+from gcc_tpu.data.datasets import AlignedDataset, SRDataset, SyntheticDataset
+from gcc_tpu.data.loader import InfiniteLoader, Loader
+from gcc_tpu.data.transforms import apply_transform, get_params
+
+
+def _write_ab_images(root, n=6, w=64, h=32):
+    d = os.path.join(root, "train")
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(d, f"img_{i:03d}.png"))
+    return root
+
+
+class TestTransforms:
+    def test_resize_crop_flip_normalize(self):
+        cfg = Config(preprocess="resize_and_crop", load_size=32, crop_size=16,
+                     no_flip=False)
+        img = Image.fromarray(
+            (np.arange(24 * 24 * 3).reshape(24, 24, 3) % 255).astype(np.uint8))
+        rng = np.random.RandomState(0)
+        params = get_params(cfg, img.size, rng)
+        out = apply_transform(cfg, img, params)
+        assert out.shape == (16, 16, 3)
+        assert out.dtype == np.float32
+        assert out.min() >= -1.0 and out.max() <= 1.0
+
+    def test_no_crop_when_sizes_match(self):
+        cfg = Config(preprocess="resize_and_crop", load_size=32, crop_size=32,
+                     no_flip=True)
+        img = Image.new("RGB", (48, 48), (128, 64, 32))
+        out = apply_transform(cfg, img,
+                              get_params(cfg, img.size,
+                                         np.random.RandomState(0)))
+        assert out.shape == (32, 32, 3)
+        # uniform image: value preserved through resize
+        np.testing.assert_allclose(out[0, 0], np.float32(
+            [128, 64, 32]) / 255 * 2 - 1, atol=1e-6)
+
+
+class TestAlignedDataset:
+    def test_pairs_share_params(self, tmp_path):
+        root = _write_ab_images(str(tmp_path))
+        cfg = Config(dataroot=root, phase="train", load_size=16, crop_size=16,
+                     no_flip=True, preprocess="resize_and_crop")
+        ds = AlignedDataset(cfg)
+        assert len(ds) == 6
+        item = ds[0]
+        assert item["A"].shape == (16, 16, 3)
+        assert item["B"].shape == (16, 16, 3)
+        assert item["A_paths"] == item["B_paths"]
+
+
+class TestLoader:
+    def test_batching_and_shuffle(self):
+        cfg = Config(model="pix2pix", dataset_mode="synthetic", crop_size=16)
+        ds = SyntheticDataset(cfg, length=10)
+        loader = Loader(ds, batch_size=4, shuffle=True, num_threads=2, seed=0)
+        batches = list(loader)
+        assert len(batches) == 3
+        assert batches[0]["A"].shape == (4, 16, 16, 3)
+        assert batches[-1]["A"].shape == (2, 16, 16, 3)
+        assert isinstance(batches[0]["A_paths"], list)
+
+    def test_infinite_loader_cycles(self):
+        cfg = Config(model="pix2pix", dataset_mode="synthetic", crop_size=16)
+        loader = Loader(SyntheticDataset(cfg, length=4), batch_size=4)
+        inf = InfiniteLoader(loader)
+        for _ in range(3):
+            b = next(inf)
+            assert b["A"].shape[0] == 4
+
+    def test_create_split_dataset(self):
+        cfg = Config(model="pix2pix", dataset_mode="synthetic", crop_size=16,
+                     batch_size=2, num_threads=1)
+        train, val = create_split_dataset(cfg)
+        assert len(train) == len(val)
+
+
+class TestSRDatasetProtocol:
+    def test_test_split_center_crop_divisible(self, tmp_path):
+        d = os.path.join(str(tmp_path), "val")
+        os.makedirs(d)
+        Image.fromarray(np.zeros((37, 53, 3), np.uint8)).save(
+            os.path.join(d, "a.png"))
+        cfg = Config(dataroot=str(tmp_path), phase="val", image_size=96,
+                     upscale_factor=4)
+        ds = SRDataset(cfg)
+        item = ds[0]
+        h, w = item["hr"].shape[:2]
+        assert h % 4 == 0 and w % 4 == 0
+        assert item["lr"].shape[:2] == (h // 4, w // 4)
+
+
+def test_config_cli_types():
+    cfg = parse("--model pix2pix --crop_size 64 --lr 1e-3 "
+                "--target_budget 3.0 --dataroot synthetic "
+                "--dataset_mode synthetic".split())
+    assert cfg.crop_size == 64 and isinstance(cfg.crop_size, int)
+    assert cfg.lr == 1e-3
+    assert cfg.target_budget == 3.0
+    assert cfg.dataset_mode == "synthetic"  # survives the pix2pix preset
+    assert cfg.lambda_L1 == 100.0  # preset applied
+
+
+@pytest.mark.slow
+def test_train_test_roundtrip_pix2pix(tmp_path):
+    """2-iteration GCC train -> checkpoint -> test rebuild (SURVEY.md §4)."""
+    from gcc_tpu.cli.train import main as train_main
+    from gcc_tpu.cli.test import main as test_main
+    exp = str(tmp_path / "experiments")
+    args = (f"--dataroot synthetic --dataset_mode synthetic --model pix2pix "
+            f"--ngf 4 --ndf 4 --teacher_ngf 8 --teacher_ndf 8 --num_downs 5 "
+            f"--crop_size 32 --load_size 32 --batch_size 4 --n_epochs 1 "
+            f"--n_epochs_decay 0 --print_freq 100 --online_distillation "
+            f"--darts_discriminator --lambda_content 50 --lambda_gram 1e4 "
+            f"--name rt --checkpoints_dir {exp} --save_epoch_freq 1 "
+            f"--ntest 4").split()
+    assert train_main(args) == 0
+    ckpt = os.path.join(exp, "rt", "checkpoints", "model_best_AtoB.ckpt")
+    assert os.path.exists(ckpt)
+    targs = (f"--dataroot synthetic --dataset_mode synthetic --model pix2pix "
+             f"--ngf 4 --ndf 4 --num_downs 5 --crop_size 32 --load_size 32 "
+             f"--pretrain_path {ckpt} --name rt_test --checkpoints_dir {exp} "
+             f"--ntest 2 --darts_discriminator").split()
+    assert test_main(targs) == 0
+    results = os.listdir(os.path.join(exp, "rt_test", "test_results"))
+    assert len(results) >= 2
+
+
+@pytest.mark.slow
+def test_train_srgan_generator_only(tmp_path):
+    from gcc_tpu.cli.train import main as train_main
+    exp = str(tmp_path / "experiments")
+    args = (f"--dataroot synthetic --dataset_mode synthetic --model srgan "
+            f"--ngf 4 --ndf 4 --image_size 32 --batch_size 2 --n_epochs 1 "
+            f"--n_epochs_decay 0 --generator_only --print_freq 100 "
+            f"--name sro --checkpoints_dir {exp} --save_epoch_freq 1 "
+            f"--ntest 2").split()
+    assert train_main(args) == 0
+    assert os.path.exists(os.path.join(exp, "sro", "checkpoints"))
