@@ -146,6 +146,20 @@ def run(cfg) -> int:
         state = state.replace(nets=nets)
         logger.info(f"loaded teacher G from {cfg.teacher_initial_path}")
 
+    # true resume (the reference's --continue_train is declared but dead,
+    # options/options.py:29): full state incl. optimizer moments + EMA + rng
+    import json
+    from gcc_tpu.utils.checkpoint import load_state, save_state
+    state_path = os.path.join(run_dir, "checkpoints", "train_state.ckpt")
+    meta_path = os.path.join(run_dir, "checkpoints", "train_state.json")
+    start_epoch = cfg.epoch_count
+    if cfg.continue_train and os.path.exists(state_path):
+        state = load_state(state_path, state)
+        with open(meta_path) as f:
+            start_epoch = json.load(f)["epoch"] + 1
+        logger.info(f"resumed full train state from {state_path} "
+                    f"(continuing at epoch {start_epoch})")
+
     # data-parallel mesh: as many devices as divide the batch size
     n_dev = len(jax.devices())
     if cfg.mesh_shape:
@@ -164,7 +178,7 @@ def run(cfg) -> int:
     total_epochs = cfg.n_epochs + cfg.n_epochs_decay
     total_iters = 0
     current_perf = None
-    for epoch in range(cfg.epoch_count, total_epochs + 1):
+    for epoch in range(start_epoch, total_epochs + 1):
         epoch_start = time.time()
         lr = lr_for_epoch(cfg, epoch)
         ema_beta = ema_beta_for_epoch(cfg, epoch)
@@ -201,6 +215,9 @@ def run(cfg) -> int:
         if epoch % cfg.save_epoch_freq == 0:
             current_perf = evaluate(cfg, engine, state, logger, epoch)
             _save_best(cfg, engine, state, best, current_perf, epoch, logger)
+            save_state(state_path, state)
+            with open(meta_path, "w") as f:
+                json.dump({"epoch": epoch}, f)
             if epoch == total_epochs:
                 save_checkpoint(
                     ckpt_name(os.path.join(run_dir, "checkpoints"), epoch),

@@ -54,7 +54,25 @@ def apply_transform(cfg, img: Image.Image, params: Optional[Dict] = None,
                     method=Image.BICUBIC, convert: bool = True):
     """get_transform(opt, params) applied to one image
     (base_dataset.py:81-112). params=None draws crop/flip from rng (the
-    reference's RandomCrop / RandomHorizontalFlip path)."""
+    reference's RandomCrop / RandomHorizontalFlip path).
+
+    With cfg.native_loader the resize->crop->flip->normalize chain runs in
+    the C++ engine (gcc_tpu.native; PIL-parity within 1/255)."""
+    if (getattr(cfg, "native_loader", False) and not grayscale and convert
+            and cfg.preprocess == "resize_and_crop"):
+        from gcc_tpu import native
+        if native.available():
+            if params is None:
+                x = rng.randint(0, max(0, cfg.load_size - cfg.crop_size) + 1)
+                y = rng.randint(0, max(0, cfg.load_size - cfg.crop_size) + 1)
+                flip = (not cfg.no_flip) and rng.rand() > 0.5
+            else:
+                x, y = params["crop_pos"]
+                flip = (not cfg.no_flip) and params["flip"]
+            arr = np.asarray(img.convert("RGB"), np.uint8)
+            return native.transform_batch(
+                [arr], cfg.load_size, cfg.crop_size, [(x, y)], [flip],
+                num_threads=1)[0]
     if grayscale:
         img = img.convert("L")
     if "resize" in cfg.preprocess:

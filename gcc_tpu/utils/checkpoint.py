@@ -52,6 +52,30 @@ def ckpt_name(save_dir: str, epoch: Optional[int] = None,
     return os.path.join(save_dir, f"model_{epoch}.ckpt")
 
 
+def save_state(path: str, state) -> None:
+    """Full training state (params + opt states + EMA + rng) for true resume
+    — the reference cannot resume (no optimizer state saved, SURVEY.md §5)."""
+    from flax import serialization as ser
+    save_checkpoint(path, {"state": ser.to_state_dict(state)})
+
+
+def load_state(path: str, template):
+    """Restore a full state onto a freshly-initialized template (preserves
+    optax NamedTuple structure, which raw msgpack cannot carry)."""
+    from flax import serialization as ser
+    payload = load_checkpoint(path)
+    return ser.from_state_dict(template, payload["state"])
+
+
+def combine_best_models(best_AtoB: dict, best_BtoA: dict) -> dict:
+    """CycleGAN per-direction best merge (utils/util.py:305-332): G_A/D_A
+    from the best-AtoB checkpoint, G_B/D_B from the best-BtoA one."""
+    out = dict(best_AtoB)
+    out["G_B"] = best_BtoA["G_B"]
+    out["D_B"] = best_BtoA["D_B"]
+    return out
+
+
 def restore_cfg(ckpt: dict):
     """cfg tuple from a checkpoint; msgpack round-trips tuples as lists."""
     cfg = ckpt.get("cfg")

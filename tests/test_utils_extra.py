@@ -1,0 +1,92 @@
+"""Resume, best-model combining, galleries, weight plots."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gcc_tpu.config import Config
+from gcc_tpu.utils.checkpoint import (combine_best_models, load_state,
+                                      save_checkpoint, save_state,
+                                      load_checkpoint)
+
+K = jax.random.PRNGKey(0)
+
+
+def test_full_state_resume_roundtrip(tmp_path):
+    """Full state (params + adam moments + ema + rng) survives a save/load."""
+    from gcc_tpu.engines.pix2pix import Pix2PixEngine
+    cfg = Config(model="pix2pix", ngf=4, ndf=4, crop_size=32, num_downs=5,
+                 lambda_L1=100.0, gan_mode="hinge")
+    eng = Pix2PixEngine(cfg)
+    state = eng.init_state(K)
+    rng = np.random.RandomState(0)
+    batch = {"A": jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32),
+             "B": jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32)}
+    state, _ = eng.train_step(state, batch, 2e-4)
+    path = str(tmp_path / "train_state.ckpt")
+    save_state(path, state)
+
+    template = eng.init_state(K)
+    restored = load_state(path, template)
+    assert int(restored.step) == int(state.step) == 1
+    a = jax.tree_util.tree_leaves(state.opts["g"])
+    b = jax.tree_util.tree_leaves(restored.opts["g"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # restored state must continue training
+    restored2, m = eng.train_step(restored, batch, 2e-4)
+    assert int(restored2.step) == 2
+    assert all(np.isfinite(float(v)) for v in m.values())
+
+
+def test_combine_best_models():
+    a = {"G_A": 1, "G_B": 2, "D_A": 3, "D_B": 4, "epoch": 5}
+    b = {"G_A": 10, "G_B": 20, "D_A": 30, "D_B": 40, "epoch": 6}
+    c = combine_best_models(a, b)
+    assert c["G_A"] == 1 and c["D_A"] == 3
+    assert c["G_B"] == 20 and c["D_B"] == 40
+
+
+def test_weight_distribution_plots(tmp_path):
+    from gcc_tpu.utils.visual import plot_weight_distribution
+    params = {"down_0": {"kernel": np.random.rand(4, 4, 3, 8)},
+              "nested": {"conv": {"kernel": np.random.rand(3, 3, 8, 4)}}}
+    files = plot_weight_distribution(params, str(tmp_path))
+    assert len(files) == 2
+    assert all(os.path.exists(f) for f in files)
+
+
+def test_html_gallery(tmp_path):
+    from gcc_tpu.utils.visual import HTMLGallery
+    g = HTMLGallery(str(tmp_path / "web"), title="t")
+    img = np.random.rand(8, 8, 3).astype(np.float32) * 2 - 1
+    g.add_images({"real": img, "fake": img}, "sample0")
+    path = g.save()
+    html = open(path).read()
+    assert "sample0_real.png" in html and "sample0_fake.png" in html
+    assert os.path.exists(os.path.join(str(tmp_path / "web"), "images",
+                                       "sample0_fake.png"))
+
+
+def test_lottery_transplant_shapes():
+    from gcc_tpu.engines.srgan import lottery_transplant
+    from gcc_tpu.models.generators import SRResNet
+    full = SRResNet(n_channels=8, n_blocks=2)
+    pruned = SRResNet(n_channels=8, n_blocks=2, filter_cfgs=[4, 6])
+    x = jnp.zeros((1, 8, 8, 3))
+    fp = full.init(K, x)["params"]
+    pp = pruned.init(K, x)["params"]
+    scores = [np.arange(8)[::-1].astype(float), np.arange(8).astype(float)]
+    out = lottery_transplant(pp, fp, [4, 6], scores)
+    # conv1 of block 0 keeps the top-4 channels by score (0,1,2,3)
+    np.testing.assert_array_equal(
+        np.asarray(out["block_0_conv1"]["kernel"]),
+        np.asarray(fp["block_0_conv1"]["kernel"])[..., :4])
+    # conv2 input sliced to the same channels
+    assert out["block_0_conv2"]["kernel"].shape[2] == 4
+    # unpruned layers copied wholesale
+    np.testing.assert_array_equal(np.asarray(out["conv_in"]["kernel"]),
+                                  np.asarray(fp["conv_in"]["kernel"]))
