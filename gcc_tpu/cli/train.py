@@ -60,6 +60,12 @@ def build_engine(cfg, logger=None):
         return engine_cls(cfg, cfg_AtoB=cfg_a, cfg_BtoA=cfg_b)
 
     g_params = ckpt["G"]["params"]
+    if "pix2pix" in cfg.model and cfg.backbone == "resnet":
+        fc, g = compress.prune.prune_mobile_resnet_union(
+            g_params, target_budget_g=cfg.target_budget, tolerance_g=tol,
+            image_size=cfg.load_size)
+        log(f"pruned filter_cfgs: {fc} ({g:.6f} GMACs)")
+        return engine_cls(cfg, filter_cfgs=fc)
     if cfg.model == "sagan":
         fc, g = compress.prune_sagan(g_params,
                                      target_budget_g=cfg.target_budget,
@@ -145,6 +151,20 @@ def run(cfg) -> int:
         nets["tg"] = tck["G"]
         state = state.replace(nets=nets)
         logger.info(f"loaded teacher G from {cfg.teacher_initial_path}")
+    if cfg.normal_distillation and cfg.distillation_path:
+        # frozen-teacher distillation from a fixed checkpoint
+        from gcc_tpu.utils.checkpoint import load_checkpoint
+        tck = load_checkpoint(cfg.distillation_path)
+        nets = dict(state.nets)
+        if "cyclegan" in cfg.model:
+            nets["tg_a"], nets["tg_b"] = tck["G_A"], tck["G_B"]
+            nets["td_a"], nets["td_b"] = tck["D_A"], tck["D_B"]
+        else:
+            nets["tg"] = tck["G"]
+            if tck.get("D") is not None:
+                nets["td"] = tck["D"]
+        state = state.replace(nets=nets)
+        logger.info(f"loaded frozen teacher from {cfg.distillation_path}")
 
     # true resume (the reference's --continue_train is declared but dead,
     # options/options.py:29): full state incl. optimizer moments + EMA + rng
@@ -250,8 +270,17 @@ def _save_best(cfg, engine, state, best, perf, epoch, logger):
     if perf is None:
         return
     if isinstance(perf, dict):  # named metrics (srgan sets / cyclegan dirs)
+        sr_sets = ["Set5", "Set14", "B100", "Urban100", "val"]
         for i, (name, value) in enumerate(perf.items()):
-            if best.update(value, epoch, index=min(i, len(best.best_metric) - 1)):
+            if name.endswith("_psnr") or name.endswith("_ssim"):
+                # reference slots: PSNR 0-3, SSIM 4-7 (train.py:47-52)
+                base, kind = name.rsplit("_", 1)
+                idx = sr_sets.index(base) if base in sr_sets else 0
+                idx = min(idx + (4 if kind == "ssim" else 0),
+                          len(best.best_metric) - 1)
+            else:
+                idx = min(i, len(best.best_metric) - 1)
+            if best.update(value, epoch, index=idx):
                 save_checkpoint(
                     ckpt_name(save_dir, isbest=True, direction=name),
                     engine.checkpoint_payload(state, epoch, value))

@@ -206,6 +206,54 @@ def mobile_resnet_bounds(layers: dict, residual_mean: np.ndarray):
     return hi, lo
 
 
+def mobile_resnet_scores_union(params: dict, n_blocks: int = 9):
+    """Pix2Pix resnet-backbone variant (Pix2Pix.py:904-952): the residual
+    group keeps a channel if ANY member conv's norm clears the threshold
+    (union mask), unlike CycleGAN's mean-norm tying. Returns per-layer
+    scores plus the stacked residual norms (union applied per-threshold)."""
+    res = [l1_out(params["down_1"]["kernel"])]
+    for b in range(n_blocks):
+        res.append(l1_out(params[f"block_{b}_sep2"]["pointwise"]["kernel"]))
+    layers = {
+        "conv_in": l1_out(params["conv_in"]["kernel"]),
+        "down_0": l1_out(params["down_0"]["kernel"]),
+    }
+    for b in range(n_blocks):
+        layers[f"block_{b}_sep1"] = l1_out(
+            params[f"block_{b}_sep1"]["pointwise"]["kernel"])
+    layers["up_0"] = l1_out(params["up_0"]["kernel"])
+    layers["up_1"] = l1_out(params["up_1"]["kernel"])
+    return layers, np.stack(res)
+
+
+def mobile_resnet_cfgs_union(layers: dict, residual_norms: np.ndarray,
+                             threshold: float, n_blocks: int = 9) -> list:
+    res_cnt = int(((residual_norms > threshold).sum(axis=0) > 0).sum())
+    cfg = [_count(layers["conv_in"], threshold),
+           _count(layers["down_0"], threshold), res_cnt]
+    for b in range(n_blocks):
+        cfg.append(_count(layers[f"block_{b}_sep1"], threshold))
+        cfg.append(res_cnt)
+    cfg.append(_count(layers["up_0"], threshold))
+    cfg.append(_count(layers["up_1"], threshold))
+    return cfg
+
+
+def prune_mobile_resnet_union(params: dict, *, target_budget_g: float,
+                              tolerance_g: float = 0.1, n_blocks: int = 9,
+                              image_size: int = 256):
+    """Pix2Pix --backbone resnet prune driver (resnet_prune semantics)."""
+    layers, res = mobile_resnet_scores_union(params, n_blocks)
+    all_scores = list(layers.values()) + [res.max(axis=0)]
+    hi = min(float(s.max()) for s in all_scores)
+    lo = min(float(s.min()) for s in all_scores)
+    _, cfg, g = binary_search_threshold(
+        (hi, lo), lambda t: mobile_resnet_cfgs_union(layers, res, t, n_blocks),
+        lambda c: mobile_resnet_macs(c, n_blocks, image_size),
+        target_budget_g, tolerance_g)
+    return cfg, g
+
+
 def cyclegan_reference_cfgs() -> Tuple[list, list]:
     """The hard-coded horse2zebra cfgs the reference actually trains with,
     overriding its own search (utils/prune_util.py:120-121)."""

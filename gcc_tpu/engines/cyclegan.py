@@ -109,10 +109,13 @@ class CycleGANEngine:
                                  capture=True, update_stats=False)
             nets["tf_a"] = dict(self.TF_A.init(keys[8], fa))
             nets["tf_b"] = dict(self.TF_B.init(keys[9], fb))
-            opts["tg"] = self.tx_g.init({"g_a": nets["tg_a"]["params"],
-                                         "g_b": nets["tg_b"]["params"]})
-            opts["td"] = self.tx_d.init({"d_a": nets["td_a"]["params"],
-                                         "d_b": nets["td_b"]["params"]})
+            if self.cfg.online_distillation:
+                opts["tg"] = self.tx_g.init(
+                    {"g_a": nets["tg_a"]["params"],
+                     "g_b": nets["tg_b"]["params"]})
+                opts["td"] = self.tx_d.init(
+                    {"d_a": nets["td_a"]["params"],
+                     "d_b": nets["td_b"]["params"]})
             g_bundle = {"g_a": nets["g_a"]["params"],
                         "g_b": nets["g_b"]["params"],
                         "tf_a": nets["tf_a"]["params"],
@@ -164,7 +167,24 @@ class CycleGANEngine:
 
         targets_A = targets_B = None
         t_fake_A = t_fake_B = None
-        if self.distill:
+        if self.distill and not cfg.online_distillation:
+            # normal_distillation: frozen teachers, forward-only targets
+            (t_fake_B, _, t_fake_A, _, _, _, tgfA, tgfB) = \
+                self._g_forward_all(
+                    {"g_a": nets["tg_a"], "g_b": nets["tg_b"]},
+                    nets["tg_a"]["params"], nets["tg_b"]["params"],
+                    A, B, capture=True, teacher=True)
+            _, _, tdfA = apply_net(self.TD_A, nets["td_a"], t_fake_B,
+                                   train=False, capture=True,
+                                   update_stats=False)
+            _, _, tdfB = apply_net(self.TD_B, nets["td_b"], t_fake_A,
+                                   train=False, capture=True,
+                                   update_stats=False)
+            targets_A = [jax.lax.stop_gradient(f) for f in tgfA + tdfA]
+            targets_B = [jax.lax.stop_gradient(f) for f in tgfB + tdfB]
+            t_fake_B = jax.lax.stop_gradient(t_fake_B)
+            t_fake_A = jax.lax.stop_gradient(t_fake_A)
+        if self.distill and cfg.online_distillation:
             # ---- teacher G update (joint over both directions) ----
             def tg_loss(bundle):
                 (tfB, trA, tfA, trB, tiA, tiB, fA, fB) = self._g_forward_all(

@@ -121,10 +121,10 @@ class Pix2PixEngine:
             _, _, g_feats = apply_net(self.G, nets["g"], a, train=False,
                                       capture=True, update_stats=False)
             nets["tf"] = dict(self.TF.init(keys[6], g_feats))
-            opts["td"] = self.tx_d.init(nets["td"]["params"])
+            if self.cfg.online_distillation:
+                opts["td"] = self.tx_d.init(nets["td"]["params"])
+                opts["tg"] = self.tx_g.init({"g": nets["tg"]["params"]})
             g_bundle = {"g": nets["g"]["params"], "tf": nets["tf"]["params"]}
-            tg_bundle = {"g": nets["tg"]["params"]}
-            opts["tg"] = self.tx_g.init(tg_bundle)
         else:
             g_bundle = {"g": nets["g"]["params"]}
         opts["g"] = self.tx_g.init(g_bundle)
@@ -150,7 +150,19 @@ class Pix2PixEngine:
         rng, drng, tdrng = jax.random.split(state.rng, 3)
 
         target_feats = None
-        if self.distill:
+        if self.distill and not self.cfg.online_distillation:
+            # normal_distillation: frozen teacher, forward-only targets.
+            # (The reference's flag is dead code — train.py:92 only attaches
+            # a teacher under online_distillation — implemented properly.)
+            tfake, _, tg_feats = apply_net(self.TG, nets["tg"], A,
+                                           train=False, capture=True,
+                                           update_stats=False)
+            _, _, td_feats = apply_net(
+                self.TD, nets["td"], jnp.concatenate([A, tfake], -1),
+                train=False, capture=True, update_stats=False)
+            target_feats = [jax.lax.stop_gradient(f)
+                            for f in tg_feats + td_feats]
+        if self.distill and self.cfg.online_distillation:
             # ---- teacher forward (tfake for its D update) ----
             tfake, _, _ = apply_net(self.TG, nets["tg"], A, train=True,
                                     rngs={"dropout": tdrng},

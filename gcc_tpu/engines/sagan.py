@@ -80,8 +80,9 @@ class SAGANEngine:
             _, _, g_feats = apply_net(self.G, nets["g"], z, train=False,
                                       capture=True, update_stats=False)
             nets["tf"] = dict(self.TF.init(keys[4], g_feats))
-            opts["td"] = self.tx_d.init(nets["td"]["params"])
-            opts["tg"] = self.tx_g.init({"g": nets["tg"]["params"]})
+            if self.cfg.online_distillation:
+                opts["td"] = self.tx_d.init(nets["td"]["params"])
+                opts["tg"] = self.tx_g.init({"g": nets["tg"]["params"]})
             g_bundle = {"g": nets["g"]["params"], "tf": nets["tf"]["params"]}
         else:
             g_bundle = {"g": nets["g"]["params"]}
@@ -107,7 +108,18 @@ class SAGANEngine:
 
         target_feats = None
         tfake = None
-        if self.distill:
+        if self.distill and not cfg.online_distillation:
+            # normal_distillation: frozen teacher, forward-only targets
+            tfake, _, tg_feats = apply_net(self.TG, nets["tg"], z,
+                                           train=False, capture=True,
+                                           update_stats=False)
+            _, _, td_feats = apply_net(self.TD, nets["td"], tfake,
+                                       train=False, capture=True,
+                                       update_stats=False)
+            target_feats = [jax.lax.stop_gradient(f)
+                            for f in tg_feats + td_feats]
+            tfake = jax.lax.stop_gradient(tfake)
+        if self.distill and cfg.online_distillation:
             tfake0, _, _ = apply_net(self.TG, nets["tg"], z, train=True,
                                      update_stats=False)
 

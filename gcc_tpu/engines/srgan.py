@@ -101,8 +101,9 @@ class SRGANEngine:
             _, _, g_feats = apply_net(self.G, nets["g"], lr_img, train=False,
                                       capture=True, update_stats=False)
             nets["tf"] = dict(self.TF.init(keys[4], g_feats))
-            opts["td"] = self.tx_d.init(nets["td"]["params"])
-            opts["tg"] = self.tx_g.init({"g": nets["tg"]["params"]})
+            if self.cfg.online_distillation:
+                opts["td"] = self.tx_d.init(nets["td"]["params"])
+                opts["tg"] = self.tx_g.init({"g": nets["tg"]["params"]})
             g_bundle = {"g": nets["g"]["params"], "tf": nets["tf"]["params"]}
         else:
             g_bundle = {"g": nets["g"]["params"]}
@@ -158,7 +159,18 @@ class SRGANEngine:
 
         target_feats = None
         t_fake_in = None
-        if self.distill:
+        if self.distill and not cfg.online_distillation:
+            # normal_distillation: frozen teacher, forward-only targets
+            tfake, _, tg_feats = apply_net(self.TG, nets["tg"], lr_img,
+                                           train=False, capture=True,
+                                           update_stats=False)
+            t_fake_in = jax.lax.stop_gradient(to_imagenet_norm(tfake))
+            _, _, td_feats = apply_net(self.TD, nets["td"], t_fake_in,
+                                       train=False, capture=True,
+                                       update_stats=False)
+            target_feats = [jax.lax.stop_gradient(f)
+                            for f in tg_feats + td_feats]
+        if self.distill and cfg.online_distillation:
             tfake, _, _ = apply_net(self.TG, nets["tg"], lr_img, train=True,
                                     update_stats=False)
             t_fake_in = to_imagenet_norm(tfake)
