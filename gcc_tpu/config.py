@@ -227,9 +227,23 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def parse(argv: Optional[List[str]] = None) -> Config:
-    """Parse CLI flags into a Config with presets applied (options.parse())."""
-    ns = build_parser().parse_args(argv)
+    """Parse CLI flags into a Config with presets applied (options.parse()).
+
+    Unlike the reference — whose parse() silently clobbers user-passed
+    values with per-model defaults (options/options.py:164-228) —
+    explicitly passed flags win over presets here.
+    """
+    import sys
+    raw = list(sys.argv[1:]) if argv is None else list(argv)
+    ns = build_parser().parse_args(raw)
     kw = {f.name: getattr(ns, f.name) for f in dataclasses.fields(Config)}
     if isinstance(kw.get("mesh_shape"), str) and kw["mesh_shape"]:
         kw["mesh_shape"] = tuple(int(x) for x in kw["mesh_shape"].split(","))
-    return apply_presets(Config(**kw))
+    cfg = apply_presets(Config(**kw))
+    user_keys = {tok[2:].split("=")[0] for tok in raw
+                 if tok.startswith("--")}
+    overrides = {k: kw[k] for k in user_keys
+                 if k in kw and getattr(cfg, k) != kw[k]}
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    return cfg

@@ -154,7 +154,7 @@ class SyntheticDataset:
 
     def __init__(self, cfg, seed: int = 0, length: int = 64):
         self.cfg = cfg
-        self.length = length
+        self.length = int(min(length, cfg.max_dataset_size))
         self.seed = seed
         self.mode = cfg.dataset_mode if cfg.dataset_mode != "synthetic" else {
             "pix2pix": "aligned", "cyclegan": "unaligned",

@@ -190,6 +190,8 @@ def pool_query(pool: Dict[str, jax.Array], images: jax.Array,
     p = buf.shape[0]
     if p == 0:
         return pool, images
+    in_dtype = images.dtype
+    images = images.astype(buf.dtype)  # buffer stores f32; cast at boundary
 
     def body(i, carry):
         buf, cnt, out, key = carry
@@ -217,4 +219,4 @@ def pool_query(pool: Dict[str, jax.Array], images: jax.Array,
     out0 = jnp.zeros_like(images)
     buf, cnt, out, _ = jax.lax.fori_loop(
         0, images.shape[0], body, (buf, cnt, out0, rng))
-    return {"buffer": buf, "count": cnt}, out
+    return {"buffer": buf, "count": cnt}, out.astype(in_dtype)

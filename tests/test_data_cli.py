@@ -150,3 +150,40 @@ def test_train_srgan_generator_only(tmp_path):
             f"--ntest 2").split()
     assert train_main(args) == 0
     assert os.path.exists(os.path.join(exp, "sro", "checkpoints"))
+
+@pytest.mark.slow
+def test_train_test_roundtrip_sagan(tmp_path):
+    from gcc_tpu.cli.train import main as train_main
+    from gcc_tpu.cli.test import main as test_main
+    exp = str(tmp_path / "experiments")
+    args = (f"--dataroot synthetic --dataset_mode synthetic --model sagan "
+            f"--ngf 4 --ndf 4 --teacher_ngf 8 --teacher_ndf 8 --z_dim 16 "
+            f"--batch_size 4 --n_epochs 1 --n_epochs_decay 0 "
+            f"--print_freq 100 --online_distillation --darts_discriminator "
+            f"--lambda_content 1 --lambda_gram 1 --name sg "
+            f"--checkpoints_dir {exp} --save_epoch_freq 1 --ntest 2").split()
+    assert train_main(args) == 0
+    ckpt = os.path.join(exp, "sg", "checkpoints", "model_best_AtoB.ckpt")
+    assert os.path.exists(ckpt)
+    targs = (f"--dataroot synthetic --dataset_mode synthetic --model sagan "
+             f"--ngf 4 --ndf 4 --z_dim 16 --pretrain_path {ckpt} "
+             f"--name sg_test --checkpoints_dir {exp} --ntest 2 "
+             f"--darts_discriminator").split()
+    assert test_main(targs) == 0
+
+
+@pytest.mark.slow
+def test_train_roundtrip_cyclegan(tmp_path):
+    from gcc_tpu.cli.train import main as train_main
+    exp = str(tmp_path / "experiments")
+    args = (f"--dataroot synthetic --dataset_mode synthetic --model cyclegan "
+            f"--ngf 4 --ndf 4 --teacher_ngf 8 --teacher_ndf 8 --crop_size 32 "
+            f"--load_size 32 --batch_size 1 --n_epochs 1 --n_epochs_decay 0 "
+            f"--print_freq 1000 --online_distillation --darts_discriminator "
+            f"--lambda_content 0.01 --lambda_gram 10 --pool_size 4 "
+            f"--name cg --checkpoints_dir {exp} --save_epoch_freq 1 "
+            f"--max_dataset_size 6 --ntest 2").split()
+    assert train_main(args) == 0
+    # cyclegan saves per-direction bests
+    files = os.listdir(os.path.join(exp, "cg", "checkpoints"))
+    assert any("model_best" in f for f in files)

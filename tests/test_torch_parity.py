@@ -1,0 +1,296 @@
+"""Numerical parity vs torch: layers and full generators with ported weights.
+
+These tests build the reference topologies in torch (from the behavioral
+spec, not copied code), port the torch weights through
+gcc_tpu.utils.torch_port, and require matching outputs. This pins down conv/
+deconv semantics, BN statistics, activation conventions, concat order, and
+the weight-layout transposes in one shot.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from gcc_tpu.ops.layers import (BatchNorm, Conv, ConvTranspose, InstanceNorm,  # noqa: E402
+                                PReLU, pixel_shuffle)
+from gcc_tpu.losses import gan_loss  # noqa: E402
+from gcc_tpu.utils import torch_port as tp  # noqa: E402
+
+K = jax.random.PRNGKey(0)
+R = np.random.RandomState(0)
+
+
+def nchw(x_nhwc):
+    return torch.tensor(np.transpose(x_nhwc, (0, 3, 1, 2)))
+
+
+def to_nhwc(t):
+    return np.transpose(t.detach().numpy(), (0, 2, 3, 1))
+
+
+def assert_close(ours, theirs, tol=2e-4):
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=tol, rtol=tol)
+
+
+class TestLayerParity:
+    def test_conv(self):
+        x = R.rand(2, 10, 10, 5).astype(np.float32)
+        tconv = nn.Conv2d(5, 7, 4, stride=2, padding=1)
+        ours = Conv(7, (4, 4), (2, 2), 1)
+        params = {"kernel": tp._conv({"w": tconv.weight.detach().numpy()}, "w"),
+                  "bias": tconv.bias.detach().numpy()}
+        y = ours.apply({"params": params}, jnp.asarray(x))
+        assert_close(y, to_nhwc(tconv(nchw(x))))
+
+    def test_conv_transpose_4s2(self):
+        x = R.rand(2, 8, 8, 5).astype(np.float32)
+        tconv = nn.ConvTranspose2d(5, 7, 4, stride=2, padding=1)
+        ours = ConvTranspose(7, (4, 4), (2, 2), 1)
+        params = {"kernel": tp._deconv(
+            {"w": tconv.weight.detach().numpy()}, "w"),
+            "bias": tconv.bias.detach().numpy()}
+        y = ours.apply({"params": params}, jnp.asarray(x))
+        out = to_nhwc(tconv(nchw(x)))
+        assert y.shape == out.shape == (2, 16, 16, 7)
+        assert_close(y, out)
+
+    def test_conv_transpose_3s2_output_padding(self):
+        x = R.rand(1, 6, 6, 4).astype(np.float32)
+        tconv = nn.ConvTranspose2d(4, 3, 3, stride=2, padding=1,
+                                   output_padding=1)
+        ours = ConvTranspose(3, (3, 3), (2, 2), padding=1, output_padding=1)
+        params = {"kernel": tp._deconv(
+            {"w": tconv.weight.detach().numpy()}, "w"),
+            "bias": tconv.bias.detach().numpy()}
+        y = ours.apply({"params": params}, jnp.asarray(x))
+        out = to_nhwc(tconv(nchw(x)))
+        assert y.shape == out.shape == (1, 12, 12, 3)
+        assert_close(y, out)
+
+    def test_batchnorm_train_and_eval(self):
+        x = R.rand(4, 6, 6, 3).astype(np.float32) * 2 - 1
+        tbn = nn.BatchNorm2d(3)
+        with torch.no_grad():
+            tbn.weight.copy_(torch.tensor([1.5, 0.5, 2.0]))
+            tbn.bias.copy_(torch.tensor([0.1, -0.2, 0.0]))
+        ours = BatchNorm(use_running_average=False)
+        variables = {
+            "params": {"scale": np.array([1.5, 0.5, 2.0], np.float32),
+                       "bias": np.array([0.1, -0.2, 0.0], np.float32)},
+            "batch_stats": {"mean": np.zeros(3, np.float32),
+                            "var": np.ones(3, np.float32)}}
+        tbn.train()
+        ty = to_nhwc(tbn(nchw(x)))
+        y, mut = ours.apply(variables, jnp.asarray(x),
+                            mutable=["batch_stats"])
+        assert_close(y, ty, tol=1e-4)
+        # running stats after one train step (torch unbiased var)
+        assert_close(mut["batch_stats"]["mean"],
+                     tbn.running_mean.detach().numpy(), tol=1e-5)
+        assert_close(mut["batch_stats"]["var"],
+                     tbn.running_var.detach().numpy(), tol=1e-4)
+        # eval mode uses the running stats
+        tbn.eval()
+        ty_eval = to_nhwc(tbn(nchw(x)))
+        ours_eval = BatchNorm(use_running_average=True)
+        y_eval = ours_eval.apply(
+            {"params": variables["params"],
+             "batch_stats": mut["batch_stats"]}, jnp.asarray(x))
+        assert_close(y_eval, ty_eval, tol=1e-4)
+
+    def test_instance_norm(self):
+        x = R.rand(2, 5, 5, 4).astype(np.float32)
+        tnorm = nn.InstanceNorm2d(4)
+        y = InstanceNorm().apply({}, jnp.asarray(x))
+        assert_close(y, to_nhwc(tnorm(nchw(x))), tol=1e-5)
+
+    def test_prelu_and_pixel_shuffle(self):
+        x = R.rand(1, 4, 4, 8).astype(np.float32) * 2 - 1
+        tp_ = nn.PReLU()
+        y = PReLU().apply({"params": {"alpha": np.float32(0.25)}},
+                          jnp.asarray(x))
+        assert_close(y, to_nhwc(tp_(nchw(x))), tol=1e-6)
+        ps = pixel_shuffle(jnp.asarray(x), 2)
+        tps = to_nhwc(nn.PixelShuffle(2)(nchw(x)))
+        assert_close(ps, tps, tol=0)
+
+    def test_gan_loss_modes(self):
+        pred = torch.tensor(R.randn(2, 1, 4, 4).astype(np.float32))
+        pj = jnp.asarray(pred.numpy())
+        bce = nn.BCEWithLogitsLoss()
+        assert_close(gan_loss(pj, True, "vanilla"),
+                     bce(pred, torch.ones_like(pred)).numpy(), 1e-6)
+        assert_close(gan_loss(pj, False, "vanilla"),
+                     bce(pred, torch.zeros_like(pred)).numpy(), 1e-6)
+        mse = nn.MSELoss()
+        assert_close(gan_loss(pj, True, "lsgan"),
+                     mse(pred, torch.ones_like(pred)).numpy(), 1e-6)
+        relu = nn.ReLU()
+        hinge_d_real = relu(1.0 - pred).mean()  # == -mean(min(pred-1, 0))
+        assert_close(gan_loss(pj, True, "hinge"), hinge_d_real.numpy(), 1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Full-generator parity with ported weights
+# ---------------------------------------------------------------------------
+
+def build_torch_unet(ngf, num_downs):
+    """Reference UnetGenertor topology (Pix2Pix.py:20-130), built from spec."""
+    class Block(nn.Module):
+        def __init__(self, cin, cout, up_in, up_out, sub, outer=False,
+                     inner=False):
+            super().__init__()
+            self.outer = outer
+            layers = []
+            down = [nn.Conv2d(cin, cout, 4, 2, 1, bias=False)]
+            if not outer:
+                down = [nn.LeakyReLU(0.2)] + down
+                if not inner:
+                    down += [nn.BatchNorm2d(cout)]
+            up = [nn.ReLU()]
+            if outer:
+                up += [nn.ConvTranspose2d(up_in, up_out, 4, 2, 1), nn.Tanh()]
+            else:
+                up += [nn.ConvTranspose2d(up_in, up_out, 4, 2, 1, bias=False),
+                       nn.BatchNorm2d(up_out)]
+            mods = down + ([sub] if sub is not None else []) + up
+            self.model = nn.Sequential(*mods)
+
+        def forward(self, x):
+            if self.outer:
+                return self.model(x)
+            return torch.cat([x, self.model(x)], 1)
+
+    n = num_downs
+    f = [ngf * min(2 ** k, 8) for k in range(n)] + \
+        [ngf * min(2 ** (k - 1), 8) for k in range(n - 1, 0, -1)]
+    blk = Block(f[n - 2], f[n - 1], f[n - 1], f[n], None, inner=True)
+    for d in range(n - 2, 0, -1):
+        blk = Block(f[d - 1], f[d], f[d] + f[2 * n - 1 - (d + 1)],
+                    f[2 * n - 1 - d], blk)
+    outer = Block(3, f[0], f[0] + f[2 * n - 2], 3, blk, outer=True)
+
+    class G(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model = outer
+
+        def forward(self, x):
+            return self.model(x)
+
+    return G()
+
+
+def test_unet_generator_parity():
+    from gcc_tpu.models.generators import UnetGenerator
+    tg = build_torch_unet(ngf=4, num_downs=5)
+    tg.eval()
+    x = (R.rand(1, 32, 32, 3).astype(np.float32) * 2 - 1)
+    with torch.no_grad():
+        ty = to_nhwc(tg(nchw(x)))
+    params, stats = tp.port_unet_generator(tg.state_dict(), num_downs=5)
+    ours = UnetGenerator(ngf=4, num_downs=5, use_dropout=False)
+    y = ours.apply({"params": params, "batch_stats": stats},
+                   jnp.asarray(x), train=False)
+    assert_close(y, ty, tol=3e-4)
+
+
+def build_torch_patchgan(ndf, in_ch=6):
+    return nn.Sequential(
+        nn.Conv2d(in_ch, ndf, 4, 2, 1), nn.LeakyReLU(0.2),
+        nn.Conv2d(ndf, ndf * 2, 4, 2, 1, bias=False), nn.BatchNorm2d(ndf * 2),
+        nn.LeakyReLU(0.2),
+        nn.Conv2d(ndf * 2, ndf * 4, 4, 2, 1, bias=False),
+        nn.BatchNorm2d(ndf * 4), nn.LeakyReLU(0.2),
+        nn.Conv2d(ndf * 4, ndf * 8, 4, 1, 1, bias=False),
+        nn.BatchNorm2d(ndf * 8), nn.LeakyReLU(0.2),
+        nn.Conv2d(ndf * 8, 1, 4, 1, 1))
+
+
+def test_patchgan_parity():
+    from gcc_tpu.models.discriminators import PatchGAN
+    net = build_torch_patchgan(8)
+    net.eval()
+    # randomize BN stats so eval isn't trivially identity-normalized
+    for m in net:
+        if isinstance(m, nn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.copy_(1 + torch.rand_like(m.running_var))
+    x = R.rand(1, 32, 32, 6).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        ty = to_nhwc(net(nchw(x)))
+    sd = {f"model.{k}": v for k, v in net.state_dict().items()}
+    params, stats, arch = tp.port_patchgan(sd, masked=False)
+    assert arch is None
+    ours = PatchGAN(ndf=8, norm="batch", masked=False)
+    y = ours.apply({"params": params, "batch_stats": stats},
+                   jnp.asarray(x), train=False)
+    assert_close(y, ty, tol=3e-4)
+
+
+def build_torch_mobile_resnet(ngf, n_blocks=2):
+    class Sep(nn.Module):  # reference SeparableConv2d keeps it under .conv
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.conv = nn.Sequential(
+                nn.Conv2d(cin, cin, 3, 1, 0, groups=cin),
+                nn.InstanceNorm2d(cin),
+                nn.Conv2d(cin, cout, 1, 1))
+
+        def forward(self, x):
+            return self.conv(x)
+
+    sep = Sep
+
+    class Blk(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.conv_block = nn.Sequential(
+                nn.ReflectionPad2d(1), sep(c, c), nn.InstanceNorm2d(c),
+                nn.ReLU(), nn.Dropout(0.0), nn.ReflectionPad2d(1),
+                sep(c, c), nn.InstanceNorm2d(c))
+
+        def forward(self, x):
+            return x + self.conv_block(x)
+
+    layers = [nn.ReflectionPad2d(3), nn.Conv2d(3, ngf, 7, 1, 0),
+              nn.InstanceNorm2d(ngf), nn.ReLU(),
+              nn.Conv2d(ngf, ngf * 2, 3, 2, 1), nn.InstanceNorm2d(ngf * 2),
+              nn.ReLU(),
+              nn.Conv2d(ngf * 2, ngf * 4, 3, 2, 1),
+              nn.InstanceNorm2d(ngf * 4), nn.ReLU()]
+    layers += [Blk(ngf * 4) for _ in range(n_blocks)]
+    layers += [nn.ConvTranspose2d(ngf * 4, ngf * 2, 3, 2, 1, output_padding=1),
+               nn.InstanceNorm2d(ngf * 2), nn.ReLU(),
+               nn.ConvTranspose2d(ngf * 2, ngf, 3, 2, 1, output_padding=1),
+               nn.InstanceNorm2d(ngf), nn.ReLU(), nn.ReflectionPad2d(3),
+               nn.Conv2d(ngf, 3, 7, 1, 0), nn.Tanh()]
+
+    class G(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model = nn.Sequential(*layers)
+
+        def forward(self, x):
+            return self.model(x)
+
+    return G()
+
+
+def test_mobile_resnet_parity():
+    from gcc_tpu.models.generators import MobileResnetGenerator
+    net = build_torch_mobile_resnet(4, n_blocks=2)
+    net.eval()
+    x = R.rand(1, 32, 32, 3).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        ty = to_nhwc(net(nchw(x)))
+    params = tp.port_mobile_resnet(net.state_dict(), n_blocks=2)
+    ours = MobileResnetGenerator(ngf=4, n_blocks=2)
+    y = ours.apply({"params": params}, jnp.asarray(x), train=False)
+    assert_close(y, ty, tol=3e-4)
