@@ -62,10 +62,40 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
+def _reference_attention(q, k, v):
+    """Unscaled-logit attention in f32 (the reference math, SAGAN.py:97-103).
+    Used for the backward pass: recompute-based VJP trades the O(N^2) memory
+    spike for a simple exact gradient (the fused forward stays Pallas)."""
+    s = jnp.einsum("bic,bjc->bij", q.astype(jnp.float32),
+                   k.astype(jnp.float32))
+    a = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bij,bjc->bic", a, v.astype(jnp.float32)).astype(q.dtype)
+
+
+@jax.custom_vjp
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Differentiable fused attention: Pallas forward (online softmax, no
+    O(N^2) HBM intermediate), recompute-einsum backward."""
+    return _flash_attention_fwd_only(q, k, v)
+
+
+def _fa_fwd(q, k, v):
+    return _flash_attention_fwd_only(q, k, v), (q, k, v)
+
+
+def _fa_bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_reference_attention, q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
-def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                    block_q: int = 256, block_k: int = 512,
-                    interpret: bool | None = None) -> jax.Array:
+def _flash_attention_fwd_only(q: jax.Array, k: jax.Array, v: jax.Array,
+                              block_q: int = 256, block_k: int = 512,
+                              interpret: bool | None = None) -> jax.Array:
     """q, k: (B, N, dq); v: (B, N, dv) -> (B, N, dv). N multiple of block_q
     is padded internally; key padding is masked via -inf logits."""
     if interpret is None:

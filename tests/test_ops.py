@@ -218,6 +218,35 @@ class TestFlashAttention:
         ref = jnp.einsum(
             "bij,bjc->bic",
             jax.nn.softmax(jnp.einsum("bic,bjc->bij", q, k), axis=-1), v)
-        out = flash_attention(q, k, v, block_q=64, block_k=64, interpret=True)
+        from gcc_tpu.ops.pallas.attention import _flash_attention_fwd_only
+        out = _flash_attention_fwd_only(q, k, v, block_q=64, block_k=64, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-4, atol=2e-5)
+
+
+class TestFlashAttentionVJP:
+    def test_forward_matches_reference_and_grads_flow(self):
+        import numpy as np
+        import jax, jax.numpy as jnp
+        from gcc_tpu.ops.pallas.attention import (_reference_attention,
+                                                  flash_attention)
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(2, 300, 16).astype(np.float32) * 0.1)
+        k = jnp.asarray(rng.randn(2, 300, 16).astype(np.float32) * 0.1)
+        v = jnp.asarray(rng.randn(2, 300, 24).astype(np.float32))
+        out = flash_attention(q, k, v)
+        ref = _reference_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+        def loss(q, k, v):
+            return jnp.sum(flash_attention(q, k, v) ** 2)
+
+        gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(_reference_attention(q, k, v) ** 2)
+
+        rq, rk, rv = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=1e-4)
