@@ -183,6 +183,67 @@ def port_mobile_resnet(sd: dict, n_blocks: int = 9) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# SAGAN generator / discriminator (spectral norm: weight_bar + u/v state)
+# ---------------------------------------------------------------------------
+
+def _attn(sd, prefix):
+    node = {}
+    for name in ("query_conv", "key_conv", "value_conv"):
+        node[name] = {"kernel": _conv(sd, f"{prefix}.{name}.weight"),
+                      "bias": np.asarray(sd[f"{prefix}.{name}.bias"])}
+    node["gamma"] = np.asarray(sd[f"{prefix}.gamma"]).reshape(())
+    return node
+
+
+def port_sagan_generator(sd: dict) -> Tuple[dict, dict, dict]:
+    """torch SAGAN Generator (models/SAGAN.py:109-171) ->
+    (params, batch_stats, spectral). SpectralNorm wrappers store the raw
+    kernel as `module.weight_bar` plus power-iteration vectors
+    `module.weight_u` / `module.weight_v` (SAGAN.py:40-56)."""
+    sd = _to_numpy_sd(sd)
+    params: Dict = {}
+    stats: Dict = {}
+    spectral: Dict = {}
+    for i in range(1, 5):
+        p = f"l{i}.0.module"
+        params[f"l{i}"] = {"kernel": _deconv(sd, f"{p}.weight_bar"),
+                           "bias": np.asarray(sd[f"{p}.bias"])}
+        spectral[f"l{i}"] = {"u": np.asarray(sd[f"{p}.weight_u"]),
+                             "v": np.asarray(sd[f"{p}.weight_v"])}
+        pn, sn = _bn(sd, f"l{i}.1")
+        params[f"bn{i}"], stats[f"bn{i}"] = pn, sn
+    params["attn1"] = _attn(sd, "attn1")
+    params["attn2"] = _attn(sd, "attn2")
+    params["last"] = {"kernel": _deconv(sd, "last.0.weight"),
+                      "bias": np.asarray(sd["last.0.bias"])}
+    return params, stats, spectral
+
+
+def port_sagan_discriminator(sd: dict, masked: bool = False
+                             ) -> Tuple[dict, dict, Optional[dict]]:
+    """torch SAGAN Discriminator / MaskDiscriminator (SAGAN.py:173-277) ->
+    (params, spectral, arch or None)."""
+    sd = _to_numpy_sd(sd)
+    params: Dict = {}
+    spectral: Dict = {}
+    arch: Dict = {}
+    for i in range(1, 5):
+        p = f"l{i}.0.module"
+        params[f"l{i}"] = {"kernel": _conv(sd, f"{p}.weight_bar"),
+                           "bias": np.asarray(sd[f"{p}.bias"])}
+        spectral[f"l{i}"] = {"u": np.asarray(sd[f"{p}.weight_u"]),
+                             "v": np.asarray(sd[f"{p}.weight_v"])}
+        if masked and f"l{i}.1.alpha" in sd:
+            arch[f"mask_{i}"] = {"alpha": np.asarray(
+                sd[f"l{i}.1.alpha"]).reshape(-1)}
+    params["attn1"] = _attn(sd, "attn1")
+    params["attn2"] = _attn(sd, "attn2")
+    params["last"] = {"kernel": _conv(sd, "last.0.weight"),
+                      "bias": np.asarray(sd["last.0.bias"])}
+    return params, spectral, (arch if arch else None)
+
+
+# ---------------------------------------------------------------------------
 # SRResNet generator
 # ---------------------------------------------------------------------------
 

@@ -294,3 +294,189 @@ def test_mobile_resnet_parity():
     ours = MobileResnetGenerator(ngf=4, n_blocks=2)
     y = ours.apply({"params": params}, jnp.asarray(x), train=False)
     assert_close(y, ty, tol=3e-4)
+
+
+def build_torch_sagan_g(ngf, z_dim):
+    """Reference SAGAN Generator topology (SAGAN.py:17-171) from spec,
+    including the custom SpectralNorm wrapper (power-iteration on
+    weight_bar, SAGAN.py:26-56)."""
+    def l2n(v, eps=1e-12):
+        return v / (v.norm() + eps)
+
+    class SpecNorm(nn.Module):
+        def __init__(self, module):
+            super().__init__()
+            self.module = module
+            w = self.module.weight
+            height = w.data.shape[0]
+            width = w.view(height, -1).data.shape[1]
+            u = l2n(w.data.new(height).normal_(0, 1))
+            v = l2n(w.data.new(width).normal_(0, 1))
+            self.module.register_parameter(
+                "weight_bar", nn.Parameter(w.data))
+            self.module.register_parameter("weight_u", nn.Parameter(u.data))
+            self.module.register_parameter("weight_v", nn.Parameter(v.data))
+            del self.module._parameters["weight"]
+
+        def forward(self, *args):
+            u, v = self.module.weight_u, self.module.weight_v
+            w = self.module.weight_bar
+            height = w.data.shape[0]
+            for _ in range(1):
+                v.data = l2n(torch.mv(torch.t(w.view(height, -1).data),
+                                      u.data))
+                u.data = l2n(torch.mv(w.view(height, -1).data, v.data))
+            sigma = u.dot(w.view(height, -1).mv(v))
+            self.module.weight = w / sigma.expand_as(w)
+            return self.module.forward(*args)
+
+    class Attn(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.query_conv = nn.Conv2d(c, c // 8, 1)
+            self.key_conv = nn.Conv2d(c, c // 8, 1)
+            self.value_conv = nn.Conv2d(c, c, 1)
+            self.gamma = nn.Parameter(torch.zeros(1))
+
+        def forward(self, x):
+            b, c, w, h = x.size()
+            q = self.query_conv(x).view(b, -1, w * h).permute(0, 2, 1)
+            k = self.key_conv(x).view(b, -1, w * h)
+            attn = torch.softmax(torch.bmm(q, k), dim=-1)
+            v = self.value_conv(x).view(b, -1, w * h)
+            out = torch.bmm(v, attn.permute(0, 2, 1)).view(b, c, w, h)
+            return self.gamma * out + x
+
+    class G(nn.Module):
+        def __init__(self):
+            super().__init__()
+            m = 8
+            self.l1 = nn.Sequential(
+                SpecNorm(nn.ConvTranspose2d(z_dim, ngf * m, 4)),
+                nn.BatchNorm2d(ngf * m), nn.ReLU())
+            self.l2 = nn.Sequential(
+                SpecNorm(nn.ConvTranspose2d(ngf * m, ngf * m // 2, 4, 2, 1)),
+                nn.BatchNorm2d(ngf * m // 2), nn.ReLU())
+            self.l3 = nn.Sequential(
+                SpecNorm(nn.ConvTranspose2d(ngf * m // 2, ngf * m // 4,
+                                            4, 2, 1)),
+                nn.BatchNorm2d(ngf * m // 4), nn.ReLU())
+            self.l4 = nn.Sequential(
+                SpecNorm(nn.ConvTranspose2d(ngf * m // 4, ngf, 4, 2, 1)),
+                nn.BatchNorm2d(ngf), nn.ReLU())
+            self.attn1 = Attn(ngf * 2)
+            self.attn2 = Attn(ngf)
+            self.last = nn.Sequential(nn.ConvTranspose2d(ngf, 3, 4, 2, 1),
+                                      nn.Tanh())
+
+        def forward(self, z):
+            x = z.view(z.size(0), z.size(1), 1, 1)
+            x = self.l1(x)
+            x = self.l2(x)
+            x = self.l3(x)
+            x = self.attn1(x)
+            x = self.l4(x)
+            x = self.attn2(x)
+            return self.last(x)
+
+    return G()
+
+
+def test_sagan_generator_parity():
+    from gcc_tpu.models.generators import SAGANGenerator
+    torch.manual_seed(0)
+    tg = build_torch_sagan_g(ngf=8, z_dim=8)
+    tg.eval()
+    # randomize BN running stats
+    for m in tg.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.copy_(1 + torch.rand_like(m.running_var))
+    z = R.randn(2, 8).astype(np.float32)
+    # port BEFORE the torch forward: SpectralNorm updates u/v in place, and
+    # both sides must run their single power iteration from the same state
+    params, stats, spectral = tp.port_sagan_generator(tg.state_dict())
+    with torch.no_grad():
+        ty = to_nhwc(tg(torch.tensor(z)))
+    ours = SAGANGenerator(ngf=8, z_dim=8)
+    y = ours.apply({"params": params, "batch_stats": stats,
+                    "spectral": spectral}, jnp.asarray(z), train=False)
+    assert_close(y, ty, tol=5e-4)
+
+
+def build_torch_srresnet(nc, n_blocks=2):
+    """Reference SRResNet topology (SRGAN.py:15-197) from spec."""
+    def cblock(cin, cout, k, bn, act):
+        layers = [nn.Conv2d(cin, cout, k, 1, k // 2)]
+        if bn:
+            layers += [nn.BatchNorm2d(cout)]
+        if act == "prelu":
+            layers += [nn.PReLU()]
+        elif act == "tanh":
+            layers += [nn.Tanh()]
+        class CB(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv_block = nn.Sequential(*layers)
+            def forward(self, x):
+                return self.conv_block(x)
+        return CB()
+
+    class Res(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_block1 = cblock(nc, nc, 3, True, "prelu")
+            self.conv_block2 = cblock(nc, nc, 3, True, None)
+        def forward(self, x):
+            return x + self.conv_block2(self.conv_block1(x))
+
+    class Sub(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = nn.Conv2d(nc, nc * 4, 3, 1, 1)
+            self.pixel_shuffle = nn.PixelShuffle(2)
+            self.prelu = nn.PReLU()
+        def forward(self, x):
+            return self.prelu(self.pixel_shuffle(self.conv(x)))
+
+    class G(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_block1 = cblock(3, nc, 9, False, "prelu")
+            self.residual_blocks = nn.Sequential(
+                *[Res() for _ in range(n_blocks)])
+            self.conv_block2 = cblock(nc, nc, 3, True, None)
+            self.subpixel_convolutional_blocks = nn.Sequential(
+                Sub(), Sub())
+            self.conv_block3 = cblock(nc, 3, 9, False, "tanh")
+        def forward(self, x):
+            h = self.conv_block1(x)
+            r = h
+            h = self.residual_blocks(h)
+            h = self.conv_block2(h) + r
+            h = self.subpixel_convolutional_blocks(h)
+            return self.conv_block3(h)
+
+    return G()
+
+
+def test_srresnet_parity():
+    from gcc_tpu.models.generators import SRResNet
+    torch.manual_seed(1)
+    net = build_torch_srresnet(8, n_blocks=2)
+    net.eval()
+    for m in net.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.copy_(1 + torch.rand_like(m.running_var))
+    x = R.rand(1, 12, 12, 3).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        ty = to_nhwc(net(nchw(x)))
+    params, stats = tp.port_srresnet(net.state_dict(), n_blocks=2)
+    ours = SRResNet(n_channels=8, n_blocks=2)
+    y = ours.apply({"params": params, "batch_stats": stats},
+                   jnp.asarray(x), train=False)
+    assert y.shape == ty.shape == (1, 48, 48, 3)
+    assert_close(y, ty, tol=3e-4)
