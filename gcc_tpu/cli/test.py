@@ -56,26 +56,32 @@ def main(argv=None) -> int:
     n = 0
     cap = None if cfg.ntest == float("inf") else int(cfg.ntest)
     for batch in loader:
+        # visual sets mirror get_current_visuals (Pix2Pix.py:686-692 etc.)
         if "pix2pix" in cfg.model:
-            key = "B" if cfg.direction == "BtoA" else "A"
-            fake = engine.generate(state, jnp.asarray(batch[key]))
-            visuals = {"fake_B": np.asarray(fake)}
+            kin, kout = ("B", "A") if cfg.direction == "BtoA" else ("A", "B")
+            fake = engine.generate(state, jnp.asarray(batch[kin]))
+            visuals = {"real_A": batch[kin], "fake_B": np.asarray(fake),
+                       "real_B": batch[kout]}
             name = os.path.basename(batch["A_paths"][0])
         elif cfg.model == "sagan":
             fake = engine.generate(state, jnp.asarray(batch["z"]))
-            visuals = {"fake_img": np.asarray(fake)}
+            visuals = {"fake_img": np.asarray(fake),
+                       "real_img": batch["real_img"]}
             name = batch["img_path"][0]
         elif cfg.model == "srgan":
             fake = engine.generate(state, jnp.asarray(batch["lr"]))
-            visuals = {"fake_hr": np.asarray(fake)}
+            visuals = {"fake_hr": np.asarray(fake), "real_hr": batch["hr"]}
             name = batch["hr_names"][0]
         else:  # cyclegan
-            fake_B = engine.generate(state, jnp.asarray(batch["A"]),
-                                     direction="AtoB")
-            fake_A = engine.generate(state, jnp.asarray(batch["B"]),
-                                     direction="BtoA")
-            visuals = {"fake_B": np.asarray(fake_B),
-                       "fake_A": np.asarray(fake_A)}
+            A, B = jnp.asarray(batch["A"]), jnp.asarray(batch["B"])
+            fake_B = engine.generate(state, A, direction="AtoB")
+            rec_A = engine.generate(state, fake_B, direction="BtoA")
+            fake_A = engine.generate(state, B, direction="BtoA")
+            rec_B = engine.generate(state, fake_A, direction="AtoB")
+            visuals = {"real_A": batch["A"], "fake_B": np.asarray(fake_B),
+                       "rec_A": np.asarray(rec_A), "real_B": batch["B"],
+                       "fake_A": np.asarray(fake_A),
+                       "rec_B": np.asarray(rec_B)}
             name = os.path.basename(batch["A_paths"][0])
         save_images(result_dir, visuals, name,
                     aspect_ratio=cfg.aspect_ratio)

@@ -25,8 +25,7 @@ properly here in gcc_tpu.engines.srgan).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Sequence, Tuple
 
 import numpy as np
 

@@ -9,7 +9,7 @@ host work with device compute.
 from __future__ import annotations
 
 import concurrent.futures as futures
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List
 
 import numpy as np
 

@@ -9,15 +9,14 @@ intermediates replace hooks, and gradient transforms replace .grad mutation.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
-from gcc_tpu.losses import gan_loss, gram, l1, mse, sqrt_mse
+from gcc_tpu.losses import gan_loss, gram, mse, sqrt_mse
 
 
 @struct.dataclass

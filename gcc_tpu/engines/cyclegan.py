@@ -23,7 +23,7 @@ Semantics preserved:
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +35,7 @@ from gcc_tpu.engines.common import (
     make_adam, pool_init, pool_query,
 )
 from gcc_tpu.engines.pix2pix import TransformConvs
-from gcc_tpu.losses import gan_loss, l1, mse, gram
+from gcc_tpu.losses import gan_loss, l1
 from gcc_tpu.models.generators import MobileResnetGenerator
 from gcc_tpu.models.discriminators import PatchGAN
 from gcc_tpu.ops.mask import clip_alphas

@@ -27,11 +27,10 @@ here all generator parameters train.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from gcc_tpu.config import Config
 from gcc_tpu.engines.common import (

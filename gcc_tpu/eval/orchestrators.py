@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -142,7 +142,6 @@ def _eval_pix2pix(cfg, engine, state, logger):
 
 def _eval_srgan(cfg, engine, state, logger) -> Dict[str, float]:
     from gcc_tpu.data.datasets import SRDataset, SyntheticDataset
-    from gcc_tpu.data.loader import Loader
     results: Dict[str, float] = {}
     test_sets = ["Set5", "Set14", "B100", "Urban100"]
     available = [t for t in test_sets

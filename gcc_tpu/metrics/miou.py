@@ -18,7 +18,7 @@ conv-bn-relu stacks, layers 3-6 Bottleneck stacks with dilations
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,6 @@ port is mechanical: conv_0, conv_2, conv_5, ...
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

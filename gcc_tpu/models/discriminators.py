@@ -13,10 +13,7 @@ Distillation intermediates are sown at the reference's extract points.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 import flax.linen as nn
 
 from gcc_tpu.ops.layers import (

@@ -20,7 +20,7 @@ and transform-conv sizing (gcc_tpu.compress).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,7 @@ from gcc_tpu.ops.layers import (
     SubPixelConv, leaky_relu, reflect_pad,
 )
 from gcc_tpu.ops.attention import SelfAttention
-from gcc_tpu.ops.spectral import SpectralConv, SpectralConvTranspose
+from gcc_tpu.ops.spectral import SpectralConvTranspose
 
 
 # ---------------------------------------------------------------------------

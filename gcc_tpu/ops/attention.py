@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from gcc_tpu.ops.layers import Conv, conv_init
+from gcc_tpu.ops.layers import Conv
 
 
 class SelfAttention(nn.Module):

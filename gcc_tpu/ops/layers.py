@@ -14,7 +14,7 @@ by CycleGAN, models/CycleGAN.py:15-28).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ height = out_channels. Our kernels are HWIO, so the matricization is
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,9 +13,8 @@ Filenames follow the reference: model_<epoch>.ckpt / model_best_<dir>.ckpt.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import numpy as np
 from flax import serialization
 
