@@ -97,15 +97,13 @@ def main() -> None:
         return float(jax.tree_util.tree_leaves(x)[0])
 
     for _ in range(args.warmup):
-        state, m = eng.train_step(state, train_b, 2e-4)
-        state, am = eng.arch_step(state, val_b, 0.9)
-    sync(m), sync(am)
+        state, m = eng.train_arch_step(state, train_b, val_b, 2e-4, 0.9)
+    sync(m)
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        state, m = eng.train_step(state, train_b, 2e-4)
-        state, am = eng.arch_step(state, val_b, 0.9)
-    sync(m), sync(am)
+        state, m = eng.train_arch_step(state, train_b, val_b, 2e-4, 0.9)
+    sync(m)
     dt = time.perf_counter() - t0
 
     n_chips = jax.local_device_count()

@@ -211,13 +211,15 @@ def run(cfg) -> int:
             iter_start = time.time()
             batch = set_input(cfg, data)
             batch = shard_batch(batch, mesh)
-            state, losses = engine.train_step(state, batch, lr)
-            if cfg.darts_discriminator and engine.distill:
+            if cfg.darts_discriminator and engine.distill \
+                    and not cfg.generator_only:
+                # one fused program per iteration (train + arch on val batch)
                 val_batch = shard_batch(set_input(cfg, next(val_stream)),
                                         mesh)
-                state, arch_losses = engine.arch_step(state, val_batch,
-                                                      ema_beta, arch_lr)
-                losses = {**losses, **arch_losses}
+                state, losses = engine.train_arch_step(
+                    state, batch, val_batch, lr, ema_beta, arch_lr)
+            else:
+                state, losses = engine.train_step(state, batch, lr)
             total_iters += cfg.batch_size
 
             if total_iters % cfg.print_freq < cfg.batch_size:

@@ -168,6 +168,28 @@ def metrics_mean(d: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
     return {k: jnp.asarray(v, jnp.float32) for k, v in d.items()}
 
 
+class CombinedStepMixin:
+    """Fuse the cooperative train step and the darts arch step into ONE
+    compiled program (the reference runs them back-to-back per iteration,
+    train.py:144-151). Halves per-iteration dispatches and lets XLA schedule
+    across the two phases. Engines provide _train_step and _arch_step."""
+
+    def train_arch_step(self, state, batch, val_batch, lr, ema_beta,
+                        arch_lr=None):
+        if arch_lr is None:
+            arch_lr = self.cfg.arch_lr
+        if not hasattr(self, "_jit_combined"):
+            def _combined(state, batch, val_batch, lr, ema_beta, arch_lr):
+                state, m = self._train_step(state, batch, lr)
+                state, am = self._arch_step(state, val_batch, ema_beta,
+                                            arch_lr)
+                return state, {**m, **am}
+            self._jit_combined = jax.jit(_combined, donate_argnums=0)
+        return self._jit_combined(state, batch, val_batch, jnp.float32(lr),
+                                  jnp.float32(ema_beta),
+                                  jnp.float32(arch_lr))
+
+
 # ---------------------------------------------------------------------------
 # Device-resident replay pool (utils/image_pool.py:23-54, TPU-native)
 # ---------------------------------------------------------------------------

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from gcc_tpu.config import Config
 from gcc_tpu.engines.common import (
-    GANState, adam_step, add_sign_sparsity, apply_net,
+    CombinedStepMixin, GANState, adam_step, add_sign_sparsity, apply_net,
     cyclegan_heavy_sparsity, discrepancy, distill_losses, ema_update,
     make_adam, pool_init, pool_query,
 )
@@ -41,7 +41,7 @@ from gcc_tpu.models.discriminators import PatchGAN
 from gcc_tpu.ops.mask import clip_alphas
 
 
-class CycleGANEngine:
+class CycleGANEngine(CombinedStepMixin):
     loss_names = ["D_A", "G_A", "cycle_A", "idt_A",
                   "D_B", "G_B", "cycle_B", "idt_B"]
     visual_names = ["real_A", "fake_B", "rec_A", "idt_B",

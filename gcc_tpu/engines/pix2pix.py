@@ -32,8 +32,8 @@ import flax.linen as nn
 
 from gcc_tpu.config import Config
 from gcc_tpu.engines.common import (
-    GANState, adam_step, add_sign_sparsity, apply_net, discrepancy,
-    distill_losses, ema_update, make_adam,
+    CombinedStepMixin, GANState, adam_step, add_sign_sparsity, apply_net,
+    discrepancy, distill_losses, ema_update, make_adam,
 )
 from gcc_tpu.losses import gan_loss, l1
 from gcc_tpu.models.generators import MobileResnetGenerator, UnetGenerator
@@ -53,7 +53,7 @@ class TransformConvs(nn.Module):
                 for i, (w, f) in enumerate(zip(self.out_widths, feats))]
 
 
-class Pix2PixEngine:
+class Pix2PixEngine(CombinedStepMixin):
     """Duck-typed engine surface shared by all four families."""
 
     loss_names = ["G_GAN", "G_L1", "D_real", "D_fake"]

@@ -23,8 +23,8 @@ import jax.numpy as jnp
 
 from gcc_tpu.config import Config
 from gcc_tpu.engines.common import (
-    GANState, adam_step, add_sign_sparsity, apply_net, discrepancy,
-    distill_losses, ema_update, make_adam,
+    CombinedStepMixin, GANState, adam_step, add_sign_sparsity, apply_net,
+    discrepancy, distill_losses, ema_update, make_adam,
 )
 from gcc_tpu.engines.pix2pix import TransformConvs
 from gcc_tpu.losses import gan_loss, l1
@@ -33,7 +33,7 @@ from gcc_tpu.models.discriminators import SAGANDiscriminator
 from gcc_tpu.ops.mask import clip_alphas
 
 
-class SAGANEngine:
+class SAGANEngine(CombinedStepMixin):
     loss_names = ["G_GAN", "D_real", "D_fake"]
     visual_names = ["fake_img", "real_img"]
 

@@ -34,8 +34,8 @@ import jax.numpy as jnp
 
 from gcc_tpu.config import Config
 from gcc_tpu.engines.common import (
-    GANState, adam_step, add_sign_sparsity, apply_net, discrepancy,
-    distill_losses, ema_update, make_adam,
+    CombinedStepMixin, GANState, adam_step, add_sign_sparsity, apply_net,
+    discrepancy, distill_losses, ema_update, make_adam,
 )
 from gcc_tpu.engines.pix2pix import TransformConvs
 from gcc_tpu.losses import gan_loss, l1, mse
@@ -45,7 +45,7 @@ from gcc_tpu.models.discriminators import SRGANDiscriminator
 from gcc_tpu.ops.mask import clip_alphas
 
 
-class SRGANEngine:
+class SRGANEngine(CombinedStepMixin):
     visual_names = ["real_lr", "fake_hr", "real_hr"]
 
     def __init__(self, cfg: Config, filter_cfgs=None, channel_cfgs=None,
