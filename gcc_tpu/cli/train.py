@@ -130,6 +130,19 @@ def run(cfg) -> int:
     run_dir = os.path.join(cfg.checkpoints_dir, cfg.name)
     os.makedirs(run_dir, exist_ok=True)
     logger = get_logger(os.path.join(run_dir, "logger.log"))
+
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+        logger.info("jax_debug_nans enabled")
+
+    # print_options parity (options/options.py:130-152, disabled there):
+    # dump the resolved config into the run dir
+    import dataclasses as _dc
+    with open(os.path.join(run_dir, "opt.txt"), "w") as f:
+        f.write("----------------- Options ---------------\n")
+        for fld in _dc.fields(cfg):
+            f.write(f"{fld.name}: {getattr(cfg, fld.name)}\n")
+        f.write("----------------- End -------------------\n")
     jsonl = JsonlWriter(os.path.join(run_dir, "metrics.jsonl")) \
         if cfg.log_jsonl else None
     best = BestInfo(cfg)

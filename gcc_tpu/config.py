@@ -126,6 +126,7 @@ class Config:
 
     # ---- TPU-native additions (no reference equivalent) ----
     native_loader: bool = False  # C++ transform engine (gcc_tpu.native)
+    debug_nans: bool = False  # jax_debug_nans (SURVEY.md §5 sanitizers row)
     seed: int = 0
     compute_dtype: str = "bfloat16"  # dtype for conv math inside the step
     param_dtype: str = "float32"
@@ -189,7 +190,7 @@ def apply_presets(cfg: Config) -> Config:
 
 
 _BOOL_FLAGS = [
-    "native_loader", "no_dropout", "serial_batches", "no_flip", "split_dataset", "scale_prune",
+    "native_loader", "debug_nans", "no_dropout", "serial_batches", "no_flip", "split_dataset", "scale_prune",
     "norm_prune", "darts_discriminator", "arch_lr_step", "adaptive_ema",
     "regular", "arch_base_loss", "only_arch_base", "normalize_arch",
     "clear_arch", "online_distillation", "normal_distillation", "center_crop",

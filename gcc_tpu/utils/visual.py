@@ -49,6 +49,16 @@ def plot_weight_distribution(params: dict, out_dir: str,
     return written
 
 
+def diagnose_network(grads_or_params, name: str = "network") -> float:
+    """Mean absolute value across all leaves (utils/util.py:134-150)."""
+    import jax
+    leaves = [np.abs(np.asarray(x)).mean()
+              for x in jax.tree_util.tree_leaves(grads_or_params)]
+    mean = float(np.mean(leaves)) if leaves else 0.0
+    print(f"{name}: mean abs = {mean:.6f}")
+    return mean
+
+
 class HTMLGallery:
     """Minimal static HTML image gallery (one row per sample)."""
 

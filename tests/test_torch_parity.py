@@ -480,3 +480,35 @@ def test_srresnet_parity():
                    jnp.asarray(x), train=False)
     assert y.shape == ty.shape == (1, 48, 48, 3)
     assert_close(y, ty, tol=3e-4)
+
+
+def test_convert_cli_roundtrip(tmp_path):
+    """torch reference-style .pth -> gcc-tpu ckpt -> engine eval parity."""
+    from gcc_tpu.cli.convert import convert
+    from gcc_tpu.cli.test import rebuild_engine
+    from gcc_tpu.config import Config
+    from gcc_tpu.utils.checkpoint import load_checkpoint
+
+    tg = build_torch_unet(ngf=4, num_downs=5)
+    tg.eval()
+    td = build_torch_patchgan(4)
+    pth = str(tmp_path / "model_best.pth")
+    torch.save({"G": tg.state_dict(),
+                "D": {f"model.{k}": v for k, v in td.state_dict().items()},
+                "epoch": 7, "cfg": (None, None), "fid": 42.0}, pth)
+
+    out = str(tmp_path / "converted.ckpt")
+    convert("pix2pix", pth, out, num_downs=5)
+    ckpt = load_checkpoint(out)
+    assert ckpt["epoch"] == 7 and ckpt["fid"] == 42.0
+
+    cfg = Config(model="pix2pix", ngf=4, ndf=4, num_downs=5, crop_size=32,
+                 no_dropout=True)
+    eng = rebuild_engine(cfg, ckpt)
+    state = eng.init_state(jax.random.PRNGKey(0))
+    state = eng.load_net_params(state, ckpt, load_discriminator=False)
+    x = R.rand(1, 32, 32, 3).astype(np.float32) * 2 - 1
+    y = eng.generate(state, jnp.asarray(x))
+    with torch.no_grad():
+        ty = to_nhwc(tg(nchw(x)))
+    assert_close(y, ty, tol=3e-4)
