@@ -215,10 +215,19 @@ def run(cfg) -> int:
         ema_beta = ema_beta_for_epoch(cfg, epoch)
         arch_lr = cfg.arch_lr
         if cfg.arch_lr_step:
-            decay_iters = 40 if cfg.model == "sagan" else cfg.n_epochs - 1
-            arch_lr = cfg.arch_lr * multiplier_after_steps(
-                "step", max(epoch - cfg.epoch_count, 0),
-                lr_decay_iters=decay_iters)
+            # reference arch schedulers: sagan step/40 (SAGAN.py:348-353),
+            # pix2pix/cyclegan step/(n_epochs-1) (Pix2Pix.py:432-437), srgan
+            # reuses the model's own policy (SRGAN.py:370-371, 385)
+            if cfg.model == "srgan":
+                arch_lr = cfg.arch_lr * multiplier_after_steps(
+                    cfg.lr_policy, max(epoch - cfg.epoch_count, 0),
+                    n_epochs=cfg.n_epochs, n_epochs_decay=cfg.n_epochs_decay,
+                    lr_decay_iters=cfg.lr_decay_iters)
+            else:
+                decay_iters = 40 if cfg.model == "sagan" else cfg.n_epochs - 1
+                arch_lr = cfg.arch_lr * multiplier_after_steps(
+                    "step", max(epoch - cfg.epoch_count, 0),
+                    lr_decay_iters=decay_iters)
 
         for i, data in enumerate(train_loader):
             iter_start = time.time()
