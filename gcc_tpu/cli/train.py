@@ -78,9 +78,10 @@ def build_engine(cfg, logger=None):
             lr_size=cfg.image_size // cfg.upscale_factor)
         log(f"pruned filter_cfgs: {fc} ({g:.6f} GMACs)")
         return engine_cls(cfg, filter_cfgs=fc)
-    # pix2pix
+    # pix2pix (the unprunable stem/innermost widths are the model's ngf,
+    # Pix2Pix.py:825-826; the reference's --pretrain_ngf is declared but dead)
     fc, cc, g = compress.prune_unet(
-        g_params, mode=mode, ngf=cfg.pretrain_ngf or cfg.ngf,
+        g_params, mode=mode, ngf=cfg.ngf,
         target_budget_g=cfg.target_budget, tolerance_g=tol,
         num_downs=cfg.num_downs, image_size=cfg.load_size)
     log(f"pruned filter_cfgs: {fc}")
