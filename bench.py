@@ -34,6 +34,9 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--infer", action="store_true",
+                   help="measure pruned-generator inference throughput "
+                        "instead of the training iteration")
     args = p.parse_args()
     if args.steps < 1:
         p.error("--steps must be >= 1")
@@ -71,6 +74,37 @@ def main() -> None:
                                target_budget_g=3.0, tolerance_g=0.1,
                                num_downs=downs, image_size=size)
         student_cfgs = (fc, cc)
+
+    if args.infer:
+        # serving throughput of the pruned student generator (eval mode)
+        import time as _t
+        from gcc_tpu.models.generators import UnetGenerator
+        g = UnetGenerator(ngf=ngf, num_downs=downs,
+                          filter_cfgs=student_cfgs[0],
+                          channel_cfgs=student_cfgs[1], use_dropout=False)
+        x = jnp.asarray(np.random.RandomState(2).rand(batch, size, size, 3)
+                        * 2 - 1,
+                        jnp.bfloat16 if jax.default_backend() == "tpu"
+                        else jnp.float32)
+        v = g.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, x[:1], train=False)
+        fn = jax.jit(lambda v, x: g.apply(v, x, train=False))
+        y = fn(v, x)
+        _ = float(y[0, 0, 0, 0])
+        t0 = _t.perf_counter()
+        for _i in range(args.steps):
+            y = fn(v, x)
+        _ = float(y[0, 0, 0, 0])
+        dt = _t.perf_counter() - t0
+        ips = batch * args.steps / dt / jax.local_device_count()
+        print(json.dumps({
+            "metric": "inference images/sec/chip",
+            "value": round(ips, 3),
+            "unit": "images/sec/chip (pruned pix2pix student, eval)",
+            "vs_baseline": round(ips / (V100_BASELINE_IMGS_PER_SEC * 12),
+                                 3),  # ~12x train-step cost ratio
+        }))
+        return
 
     cfg = Config(model="pix2pix", ngf=ngf, ndf=ndf, teacher_ngf=tngf,
                  teacher_ndf=tndf, crop_size=size, num_downs=downs,

@@ -210,6 +210,18 @@ def run(cfg) -> int:
     total_epochs = cfg.n_epochs + cfg.n_epochs_decay
     total_iters = 0
     current_perf = None
+    profile_until = None
+    if cfg.profile_steps > 0:
+        # jax.profiler trace of the first N iterations (SURVEY aux tracing
+        # row; replaces the reference's wall-clock-only timing)
+        try:
+            trace_dir = os.path.join(run_dir, "profile")
+            jax.profiler.start_trace(trace_dir)
+            profile_until = cfg.profile_steps
+            logger.info(f"profiling first {profile_until} iterations "
+                        f"-> {trace_dir}")
+        except Exception as e:  # tunnel backends may not support tracing
+            logger.info(f"profiler unavailable: {e}")
     for epoch in range(start_epoch, total_epochs + 1):
         epoch_start = time.time()
         lr = lr_for_epoch(cfg, epoch)
@@ -244,6 +256,12 @@ def run(cfg) -> int:
             else:
                 state, losses = engine.train_step(state, batch, lr)
             total_iters += cfg.batch_size
+
+            if profile_until is not None and i + 1 >= profile_until:
+                jax.block_until_ready(jax.tree_util.tree_leaves(losses))
+                jax.profiler.stop_trace()
+                logger.info("profiler trace written")
+                profile_until = None
 
             if total_iters % cfg.print_freq < cfg.batch_size:
                 vals = {k: float(v) for k, v in losses.items()}

@@ -127,6 +127,7 @@ class Config:
     # ---- TPU-native additions (no reference equivalent) ----
     native_loader: bool = False  # C++ transform engine (gcc_tpu.native)
     debug_nans: bool = False  # jax_debug_nans (SURVEY.md §5 sanitizers row)
+    profile_steps: int = 0  # capture a jax.profiler trace of the first N iters
     seed: int = 0
     compute_dtype: str = "bfloat16"  # dtype for conv math inside the step
     param_dtype: str = "float32"
