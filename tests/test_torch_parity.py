@@ -512,3 +512,56 @@ def test_convert_cli_roundtrip(tmp_path):
     with torch.no_grad():
         ty = to_nhwc(tg(nchw(x)))
     assert_close(y, ty, tol=3e-4)
+
+
+def test_lr_schedules_match_torch():
+    """lr_for_epoch vs torch LambdaLR/StepLR/CosineAnnealingLR stepped once
+    per epoch at epoch end (utils/util.py:288-303 + train.py:172)."""
+    from gcc_tpu.config import Config
+    from gcc_tpu.utils.schedule import lr_for_epoch
+
+    def torch_lrs(policy, n_epochs, n_epochs_decay, lr_decay_iters,
+                  total, base=2e-4):
+        opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base)
+        if policy == "linear":
+            sched = torch.optim.lr_scheduler.LambdaLR(
+                opt, lambda e: 1.0 - max(0, e + 1 - n_epochs)
+                / float(n_epochs_decay + 1))
+        elif policy == "step":
+            sched = torch.optim.lr_scheduler.StepLR(
+                opt, step_size=lr_decay_iters, gamma=0.1)
+        else:
+            sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+                opt, T_max=n_epochs, eta_min=0)
+        lrs = []
+        for _ in range(total):
+            lrs.append(opt.param_groups[0]["lr"])  # lr used DURING epoch
+            sched.step()
+        return lrs
+
+    for policy, kw in (("linear", dict(n_epochs=10, n_epochs_decay=5)),
+                       ("step", dict(n_epochs=10, n_epochs_decay=0,
+                                     lr_decay_iters=4)),
+                       ("cosine", dict(n_epochs=10, n_epochs_decay=0))):
+        cfg = Config(lr=2e-4, lr_policy=policy, epoch_count=1,
+                     n_epochs=kw["n_epochs"],
+                     n_epochs_decay=kw.get("n_epochs_decay", 0),
+                     lr_decay_iters=kw.get("lr_decay_iters", 50))
+        total = kw["n_epochs"] + kw.get("n_epochs_decay", 0)
+        expected = torch_lrs(policy, kw["n_epochs"],
+                             kw.get("n_epochs_decay", 0),
+                             kw.get("lr_decay_iters", 50), total)
+        ours = [lr_for_epoch(cfg, e) for e in range(1, total + 1)]
+        np.testing.assert_allclose(ours, expected, rtol=1e-6,
+                                   err_msg=policy)
+
+
+def test_ema_beta_schedule():
+    from gcc_tpu.config import Config
+    from gcc_tpu.utils.schedule import ema_beta_for_epoch
+    cfg = Config(ema_beta=1.0, epoch_count=1, n_epochs=4, n_epochs_decay=6)
+    # epoch 1 uses the initial beta; epoch e uses 1 - (e-1)/total
+    # (adaptive_ema_beta at epoch end, Pix2Pix.py:602-614)
+    assert ema_beta_for_epoch(cfg, 1) == 1.0
+    assert ema_beta_for_epoch(cfg, 2) == 1.0 - 1 / 10
+    assert ema_beta_for_epoch(cfg, 10) == 1.0 - 9 / 10
