@@ -186,7 +186,8 @@ def miou_from_hist(hist: np.ndarray) -> float:
 # Weight porting + full evaluation
 # ---------------------------------------------------------------------------
 
-def load_torch_drnseg(path: str) -> dict:
+def load_torch_drnseg(path: str,
+                      layers: Sequence[int] = DRN_D_105_LAYERS) -> dict:
     """Port a torch DRNSeg state_dict (--drn_path) to this module's params."""
     if path.endswith(".npz"):
         sd = dict(np.load(path))
@@ -211,7 +212,7 @@ def load_torch_drnseg(path: str) -> dict:
             "bn_var": jnp.asarray(sd[bn_key + ".running_var"]),
         }
 
-    ly = DRN_D_105_LAYERS
+    ly = tuple(layers)
     put_convbn("layer0_0", "base.0.0.weight", "base.0.1")
     for li, n in ((1, ly[0]), (2, ly[1])):
         for i in range(n):
