@@ -6,25 +6,61 @@ The benchmarked iteration is the reference's full per-iteration work
 update with distillation, plus the DARTS arch step on a second batch —
 i.e. everything GCC does per image, not just a generator forward.
 
-vs_baseline normalizes by an estimated single-V100 reference throughput.
-The reference publishes no numbers (BASELINE.md); the estimate below is
-derived from the step's FLOP count: teacher (ngf64 U-Net, 18.1 GMACs fwd) +
-student (3.0 GMACs budget) + both PatchGANs, ~0.5 TFLOP/iter at batch 1,
-against ~4.5 TFLOP/s sustained fp32 V100 torch throughput with Python/hook
-overhead => ~6 images/sec. Recorded as V100_BASELINE_IMGS_PER_SEC.
+Baseline grounding (all numbers auditable from the JSON output):
+  * tflop_per_step comes from XLA's compiled cost analysis of the exact
+    program being timed — not hand arithmetic.
+  * torch_cpu_measured_imgs_per_sec is a real measurement of the reference
+    cooperative iteration rebuilt from spec (benchmarks/torch_ref.py),
+    cached with provenance in benchmarks/torch_ref_result.json.
+  * v100_estimated_imgs_per_sec is an EXTRAPOLATION, labeled as such:
+    measured tflop_per_image / (15.7 TF/s fp32 peak x 0.35 assumed conv
+    utilization). The reference publishes no numbers (BASELINE.md), so a
+    V100 anchor cannot be measured; 0.35 is a typical cuDNN fp32 conv
+    efficiency and is stated in the output for the reader to re-scale.
+  * mfu is measured TF/s over the v5e bf16 peak (197 TF/s/chip).
 
-Usage: python bench.py [--smoke] [--batch N] [--steps N]
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Usage: python bench.py [--smoke] [--batch N] [--steps N] [--infer]
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
-V100_BASELINE_IMGS_PER_SEC = 6.0
+V100_FP32_PEAK_TFS = 15.7
+V100_ASSUMED_UTILIZATION = 0.35
+V5E_BF16_PEAK_TFS = 197.0
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_TORCH_REF_JSON = os.path.join(_REPO, "benchmarks", "torch_ref_result.json")
+
+
+def _torch_cpu_anchor():
+    """Measured torch-CPU throughput of the reference iteration, if the
+    cached measurement (benchmarks/torch_ref.py) is present."""
+    try:
+        with open(_TORCH_REF_JSON) as f:
+            r = json.load(f)
+        return {"imgs_per_sec": round(r["imgs_per_sec"], 4),
+                "batch": r["batch"], "size": r["size"],
+                "cpu_count": r.get("cpu_count"),
+                "torch_version": r.get("torch_version")}
+    except (OSError, KeyError, ValueError):
+        return None
+
+
+def _cost_analysis_flops(lowered_compiled) -> float | None:
+    try:
+        ca = lowered_compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
 
 
 def main() -> None:
@@ -75,9 +111,10 @@ def main() -> None:
                                num_downs=downs, image_size=size)
         student_cfgs = (fc, cc)
 
+    n_chips = jax.local_device_count()
+
     if args.infer:
         # serving throughput of the pruned student generator (eval mode)
-        import time as _t
         from gcc_tpu.models.generators import UnetGenerator
         g = UnetGenerator(ngf=ngf, num_downs=downs,
                           filter_cfgs=student_cfgs[0],
@@ -89,21 +126,41 @@ def main() -> None:
         v = g.init({"params": jax.random.PRNGKey(0),
                     "dropout": jax.random.PRNGKey(1)}, x[:1], train=False)
         fn = jax.jit(lambda v, x: g.apply(v, x, train=False))
+        flops_step = _cost_analysis_flops(fn.lower(v, x).compile())
         y = fn(v, x)
         _ = float(y[0, 0, 0, 0])
-        t0 = _t.perf_counter()
+        t0 = time.perf_counter()
         for _i in range(args.steps):
             y = fn(v, x)
         _ = float(y[0, 0, 0, 0])
-        dt = _t.perf_counter() - t0
-        ips = batch * args.steps / dt / jax.local_device_count()
-        print(json.dumps({
+        dt = time.perf_counter() - t0
+        ips = batch * args.steps / dt / n_chips
+        out = {
             "metric": "inference images/sec/chip",
             "value": round(ips, 3),
             "unit": "images/sec/chip (pruned pix2pix student, eval)",
-            "vs_baseline": round(ips / (V100_BASELINE_IMGS_PER_SEC * 12),
-                                 3),  # ~12x train-step cost ratio
-        }))
+        }
+        if flops_step:
+            tflop_img = flops_step / batch / 1e12
+            v100_est = (V100_FP32_PEAK_TFS * V100_ASSUMED_UTILIZATION
+                        / tflop_img)
+            out.update({
+                "tflop_per_image": round(tflop_img, 6),
+                "measured_tf_per_sec": round(ips * tflop_img * n_chips, 2),
+                "mfu_vs_v5e_peak": round(ips * tflop_img / V5E_BF16_PEAK_TFS,
+                                         4),
+                "vs_baseline": round(ips / v100_est, 3),
+                "baseline": {
+                    "v100_estimated_imgs_per_sec": round(v100_est, 3),
+                    "basis": (f"{V100_FP32_PEAK_TFS} TF/s fp32 peak x "
+                              f"{V100_ASSUMED_UTILIZATION} assumed util / "
+                              "measured tflop_per_image (extrapolation; "
+                              "reference publishes no numbers)"),
+                },
+            })
+        else:
+            out["vs_baseline"] = None
+        print(json.dumps(out))
         return
 
     cfg = Config(model="pix2pix", ngf=ngf, ndf=ndf, teacher_ngf=tngf,
@@ -134,6 +191,13 @@ def main() -> None:
         state, m = eng.train_arch_step(state, train_b, val_b, 2e-4, 0.9)
     sync(m)
 
+    # FLOPs of the exact compiled program being timed (jit cache is shared,
+    # so this lowering does not recompile)
+    flops_step = _cost_analysis_flops(
+        eng._jit_combined.lower(state, train_b, val_b, jnp.float32(2e-4),
+                                jnp.float32(0.9),
+                                jnp.float32(1e-4)).compile())
+
     # three timing windows; best window defends against tunnel jitter
     window = max(1, args.steps // 3)
     times = []
@@ -145,15 +209,45 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     dt = min(times)
 
-    n_chips = jax.local_device_count()
     imgs_per_sec_chip = batch * window / dt / n_chips
-    print(json.dumps({
+    out = {
         "metric": "images/sec/chip",
         "value": round(imgs_per_sec_chip, 3),
         "unit": "images/sec/chip (pix2pix-cityscapes GCC cooperative step)",
-        "vs_baseline": round(imgs_per_sec_chip / V100_BASELINE_IMGS_PER_SEC,
-                             3),
-    }))
+    }
+    anchor = _torch_cpu_anchor()
+    if anchor and anchor.get("size") != size:
+        anchor = None  # only compare at identical shapes
+    if flops_step:
+        tflop_img = flops_step / batch / 1e12
+        measured_tfs = imgs_per_sec_chip * tflop_img
+        v100_est = V100_FP32_PEAK_TFS * V100_ASSUMED_UTILIZATION / tflop_img
+        out.update({
+            "tflop_per_step": round(flops_step / 1e12, 4),
+            "tflop_per_image": round(tflop_img, 4),
+            "measured_tf_per_sec_chip": round(measured_tfs, 2),
+            "mfu_vs_v5e_peak": round(measured_tfs / V5E_BF16_PEAK_TFS, 4),
+            "vs_baseline": round(imgs_per_sec_chip / v100_est, 3),
+            "baseline": {
+                "v100_estimated_imgs_per_sec": round(v100_est, 3),
+                "basis": (f"{V100_FP32_PEAK_TFS} TF/s fp32 peak x "
+                          f"{V100_ASSUMED_UTILIZATION} assumed util / "
+                          "measured tflop_per_image (extrapolation; the "
+                          "reference publishes no benchmark numbers)"),
+                "torch_cpu_measured": anchor,
+            },
+        })
+        if anchor:
+            out["vs_torch_cpu_measured"] = round(
+                imgs_per_sec_chip / anchor["imgs_per_sec"], 1)
+    else:
+        # no cost analysis available on this backend: fall back to the
+        # measured torch anchor alone, else report throughput only
+        out["vs_baseline"] = (round(imgs_per_sec_chip
+                                    / anchor["imgs_per_sec"], 1)
+                              if anchor else None)
+        out["baseline"] = {"torch_cpu_measured": anchor}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
