@@ -124,8 +124,9 @@ def run(cfg) -> int:
     from gcc_tpu.utils.best_info import BestInfo
     from gcc_tpu.utils.checkpoint import ckpt_name, save_checkpoint
     from gcc_tpu.utils.logging import JsonlWriter, get_logger
-    from gcc_tpu.utils.schedule import ema_beta_for_epoch, lr_for_epoch, \
-        multiplier_after_steps
+    from gcc_tpu.utils.best_info import maximize_metric
+    from gcc_tpu.utils.schedule import Plateau, ema_beta_for_epoch, \
+        lr_for_epoch, multiplier_after_steps
     from gcc_tpu.ops.mask import sparsity_report
 
     run_dir = os.path.join(cfg.checkpoints_dir, cfg.name)
@@ -210,6 +211,9 @@ def run(cfg) -> int:
     total_epochs = cfg.n_epochs + cfg.n_epochs_decay
     total_iters = 0
     current_perf = None
+    # metric-driven LR (torch ReduceLROnPlateau parity; fed the epoch-end
+    # eval metric each save_epoch_freq — negated when the metric maximizes)
+    plateau = Plateau(cfg.lr) if cfg.lr_policy == "plateau" else None
     profile_until = None
     if cfg.profile_steps > 0:
         # jax.profiler trace of the first N iterations (SURVEY aux tracing
@@ -224,10 +228,12 @@ def run(cfg) -> int:
             logger.info(f"profiler unavailable: {e}")
     for epoch in range(start_epoch, total_epochs + 1):
         epoch_start = time.time()
-        lr = lr_for_epoch(cfg, epoch)
+        lr = plateau.lr if plateau else lr_for_epoch(cfg, epoch)
         ema_beta = ema_beta_for_epoch(cfg, epoch)
         arch_lr = cfg.arch_lr
-        if cfg.arch_lr_step:
+        if cfg.arch_lr_step and plateau:
+            arch_lr = cfg.arch_lr * (plateau.lr / cfg.lr)
+        elif cfg.arch_lr_step:
             # reference arch schedulers: sagan step/40 (SAGAN.py:348-353),
             # pix2pix/cyclegan step/(n_epochs-1) (Pix2Pix.py:432-437), srgan
             # reuses the model's own policy (SRGAN.py:370-371, 385)
@@ -276,6 +282,15 @@ def run(cfg) -> int:
         if epoch % cfg.save_epoch_freq == 0:
             current_perf = evaluate(cfg, engine, state, logger, epoch)
             _save_best(cfg, engine, state, best, current_perf, epoch, logger)
+            if plateau is not None and current_perf is not None:
+                scalar = (float(np.mean(list(current_perf.values())))
+                          if isinstance(current_perf, dict)
+                          else float(current_perf))
+                if maximize_metric(cfg):
+                    scalar = -scalar
+                new_lr = plateau.step(scalar)
+                if new_lr != lr:
+                    logger.info(f"plateau: lr {lr:.7f} -> {new_lr:.7f}")
             save_state(state_path, state)
             with open(meta_path, "w") as f:
                 json.dump({"epoch": epoch}, f)

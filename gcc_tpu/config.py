@@ -178,8 +178,11 @@ def apply_presets(cfg: Config) -> Config:
         else:
             c = c.replace(n_epochs=100, center_crop=True)
     elif "cyclegan" in c.model:
+        # pool_size=50: the reference hard-codes ImagePool(50) for all four
+        # pools regardless of the flag (models/CycleGAN.py:342-343); we honor
+        # an explicitly passed --pool_size but default to reference parity.
         c = c.replace(dataset_mode="unaligned", gan_mode="lsgan", n_epochs=100,
-                      n_epochs_decay=100, print_freq=100)
+                      n_epochs_decay=100, print_freq=100, pool_size=50)
 
     # sparsity pretraining runs at 1/10 epoch counts (options/options.py:226-228)
     if c.lambda_weight > 0 or c.lambda_scale > 0:

@@ -89,9 +89,13 @@ class CycleGANEngine(CombinedStepMixin):
         nets["g_b"] = dict(self.G_B.init({"params": keys[1]}, img, train=True))
         nets["d_a"] = dict(self.D_A.init({"params": keys[2]}, img, train=True))
         nets["d_b"] = dict(self.D_B.init({"params": keys[3]}, img, train=True))
+        # one pool size for student AND teacher pools; the cyclegan preset
+        # defaults it to the reference's hard-coded ImagePool(50)
+        # (models/CycleGAN.py:342-343)
         pool_shape = (size, size, 3)
-        nets["pool_a"] = pool_init(self.cfg.pool_size or 50, pool_shape)
-        nets["pool_b"] = pool_init(self.cfg.pool_size or 50, pool_shape)
+        pool_n = self.cfg.pool_size or 50
+        nets["pool_a"] = pool_init(pool_n, pool_shape)
+        nets["pool_b"] = pool_init(pool_n, pool_shape)
         if self.distill:
             nets["tg_a"] = dict(self.TG_A.init({"params": keys[4]}, img,
                                                train=True))
@@ -101,8 +105,8 @@ class CycleGANEngine(CombinedStepMixin):
                                                train=True))
             nets["td_b"] = dict(self.TD_B.init({"params": keys[7]}, img,
                                                train=True))
-            nets["tpool_a"] = pool_init(50, pool_shape)
-            nets["tpool_b"] = pool_init(50, pool_shape)
+            nets["tpool_a"] = pool_init(pool_n, pool_shape)
+            nets["tpool_b"] = pool_init(pool_n, pool_shape)
             _, _, fa = apply_net(self.G_A, nets["g_a"], img, train=False,
                                  capture=True, update_stats=False)
             _, _, fb = apply_net(self.G_B, nets["g_b"], img, train=False,

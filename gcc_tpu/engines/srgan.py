@@ -63,7 +63,21 @@ class SRGANEngine(CombinedStepMixin):
         self.D = SRGANDiscriminator(ndf=cfg.ndf, masked=self.darts,
                                     threshold=cfg.threshold)
         self.vgg = TruncatedVGG19()
-        self.vgg_params = vgg_params  # None => perceptual term disabled
+        if vgg_params is None and cfg.vgg_path:
+            from gcc_tpu.metrics.vgg import load_torch_vgg19
+            vgg_params = load_torch_vgg19(cfg.vgg_path)
+        self.vgg_params = vgg_params
+        # The reference's perceptual term runs in *pretrained* VGG19(5,4)
+        # space (models/SRGAN.py:330,451-453). Random-feature perceptual loss
+        # is a different algorithm, so without weights the term is DISABLED
+        # (weight 0), loudly — not silently proxied.
+        self.vgg_enabled = vgg_params is not None
+        if not self.vgg_enabled and cfg.lambda_SR_perceptual:
+            import logging
+            logging.getLogger("gcc_tpu").warning(
+                "SRGAN perceptual loss DISABLED: no pretrained VGG19 weights "
+                "(--vgg_path). The reference uses torchvision's pretrained "
+                "VGG19(5,4); training proceeds with content+adversarial only.")
         if self.distill:
             self.TG = SRResNet(n_channels=cfg.teacher_ngf,
                                scaling_factor=cfg.upscale_factor)
@@ -90,8 +104,6 @@ class SRGANEngine(CombinedStepMixin):
         opts: Dict[str, Any] = {}
         nets["g"] = dict(self.G.init({"params": keys[0]}, lr_img, train=True))
         nets["d"] = dict(self.D.init({"params": keys[1]}, hr_img, train=True))
-        if self.vgg_params is None:
-            self.vgg_params = self.vgg.init(keys[5], hr_img)["params"]
         if self.distill:
             nets["tg"] = dict(self.TG.init({"params": keys[2]}, lr_img,
                                            train=True))
@@ -121,6 +133,8 @@ class SRGANEngine(CombinedStepMixin):
         return self._jit_train(state, batch, jnp.float32(lr))
 
     def _perceptual(self, fake_in, real_in):
+        if not self.vgg_enabled:
+            return jnp.float32(0.0)
         f = self.vgg.apply({"params": self.vgg_params}, fake_in)
         r = self.vgg.apply({"params": self.vgg_params}, real_in)
         return mse(f, jax.lax.stop_gradient(r))

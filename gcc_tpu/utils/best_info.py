@@ -5,6 +5,12 @@ from __future__ import annotations
 import math
 
 
+def maximize_metric(cfg) -> bool:
+    """Whether the model's eval metric improves upward (mIoU/PSNR) or
+    downward (FID) — train.py:16-73 best-tracking directions."""
+    return cfg.model == "srgan" or "cityscapes" in cfg.dataroot
+
+
 class BestInfo:
     def __init__(self, cfg):
         self.cfg = cfg
@@ -26,9 +32,7 @@ class BestInfo:
             self.best_epoch = [0]
 
     def update(self, metric: float, epoch: int, index: int = 0) -> bool:
-        maximize = (self.cfg.model == "srgan"
-                    or "cityscapes" in self.cfg.dataroot)
-        if maximize:
+        if maximize_metric(self.cfg):
             if self.best_metric[index] <= metric:
                 self.best_metric[index] = metric
                 self.best_epoch[index] = epoch

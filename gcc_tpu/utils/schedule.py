@@ -32,10 +32,53 @@ def multiplier_after_steps(policy: str, steps: int, *, epoch_count: int = 1,
     if policy == "cosine":
         return 0.5 * (1.0 + math.cos(math.pi * steps / n_epochs))
     if policy == "plateau":
-        # ReduceLROnPlateau is stateful in torch; handled by the train loop
-        # (gcc_tpu.train.loop tracks the metric); here it is identity.
-        return 1.0
+        raise ValueError(
+            "plateau is stateful (metric-driven); use gcc_tpu.utils.schedule"
+            ".Plateau, which the train loop feeds with the epoch-end metric")
     raise NotImplementedError(f"learning rate policy [{policy}] is not implemented")
+
+
+class Plateau:
+    """ReduceLROnPlateau(mode='min', factor=0.2, threshold=0.01, patience=5)
+    semantics, matching the torch scheduler the reference constructs
+    (utils/util.py:297-298).
+
+    Note: the reference then calls ``scheduler.step()`` with NO metric for
+    every policy (models/Pix2Pix.py:608-609), which raises TypeError in
+    torch — ``--lr_policy plateau`` is unusable in the reference. Here the
+    train loop feeds the epoch-end eval metric (negated for maximize metrics
+    so smaller is always better), making the declared flag actually work.
+
+    torch details matched: rel threshold (better = m < best*(1-threshold)),
+    best init +inf, cooldown 0, min_lr 0, lr update skipped when the change
+    is below eps=1e-8.
+    """
+
+    def __init__(self, lr: float, factor: float = 0.2,
+                 threshold: float = 0.01, patience: int = 5,
+                 eps: float = 1e-8):
+        self.lr = float(lr)
+        self.factor = factor
+        self.threshold = threshold
+        self.patience = patience
+        self.eps = eps
+        self.best = math.inf
+        self.num_bad = 0
+
+    def step(self, metric: float) -> float:
+        """Record one epoch-end metric (smaller = better); returns the LR to
+        use from the NEXT epoch on (torch steps at epoch end)."""
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+        if self.num_bad > self.patience:
+            new_lr = self.lr * self.factor
+            if self.lr - new_lr > self.eps:
+                self.lr = new_lr
+            self.num_bad = 0
+        return self.lr
 
 
 def lr_for_epoch(cfg, epoch: int, base_lr: float = None) -> float:

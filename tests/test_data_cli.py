@@ -114,6 +114,27 @@ def test_config_cli_types():
     assert cfg.lambda_L1 == 100.0  # preset applied
 
 
+def test_cyclegan_pool_size_preset():
+    """Reference parity: ImagePool(50) for all pools (CycleGAN.py:342-343);
+    an explicitly passed --pool_size still wins."""
+    cfg = parse("--model cyclegan --dataroot synthetic "
+                "--dataset_mode synthetic".split())
+    assert cfg.pool_size == 50
+    cfg2 = parse("--model cyclegan --dataroot synthetic --pool_size 7 "
+                 "--dataset_mode synthetic".split())
+    assert cfg2.pool_size == 7
+    # teacher pools share the student pool size inside the engine
+    from gcc_tpu.config import Config
+    from gcc_tpu.engines.cyclegan import CycleGANEngine
+    import jax
+    c = Config(model="cyclegan", ngf=4, ndf=4, teacher_ngf=4, teacher_ndf=4,
+               crop_size=32, pool_size=3, online_distillation=True)
+    eng = CycleGANEngine(c)
+    st = eng.init_state(jax.random.PRNGKey(0))
+    assert st.nets["pool_a"]["buffer"].shape[0] == 3
+    assert st.nets["tpool_a"]["buffer"].shape[0] == 3
+
+
 @pytest.mark.slow
 def test_train_test_roundtrip_pix2pix(tmp_path):
     """2-iteration GCC train -> checkpoint -> test rebuild (SURVEY.md §4)."""

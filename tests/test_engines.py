@@ -151,6 +151,10 @@ class TestSRGAN:
         assert finite(m)
         assert {"content", "G_GAN", "perceptual", "D_real", "D_fake",
                 "distill_content", "gram"} <= set(m)
+        # no pretrained VGG weights => the perceptual term is DISABLED
+        # (exactly 0), not silently computed in random-VGG space
+        assert float(m["perceptual"]) == 0.0
+        assert not eng.vgg_enabled
         a0 = alphas_of(state)
         state, am = eng.arch_step(state, batch, 0.9)
         state, am = eng.arch_step(state, batch, 0.9)
@@ -171,6 +175,26 @@ def test_srgan_generator_only():
     state, m2 = eng.train_step(state, batch, 1e-4)
     assert list(m) == ["content"]
     assert m2["content"] <= m["content"] * 2  # sane trajectory
+
+
+def test_srgan_perceptual_enabled_with_weights():
+    """Explicit vgg_params turn the perceptual term back on."""
+    import jax
+    cfg = Config(model="srgan", ngf=4, ndf=4, image_size=32,
+                 upscale_factor=4, gan_mode="vanilla",
+                 lambda_SR_content=1.0, lr=1e-4)
+    from gcc_tpu.engines.srgan import SRGANEngine
+    from gcc_tpu.metrics.vgg import TruncatedVGG19
+    import jax.numpy as jnp
+    vgg_params = TruncatedVGG19().init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))["params"]
+    eng = SRGANEngine(cfg, vgg_params=vgg_params)
+    assert eng.vgg_enabled
+    state = eng.init_state(K)
+    batch = {"lr": img(2, 8), "hr": img(2, 32)}
+    state, m = eng.train_step(state, batch, 1e-4)
+    assert finite(m)
+    assert float(m["perceptual"]) > 0.0
 
 
 # ---------------------------------------------------------------------------

@@ -556,6 +556,31 @@ def test_lr_schedules_match_torch():
                                    err_msg=policy)
 
 
+def test_plateau_matches_torch_reduce_lr_on_plateau():
+    """Plateau vs torch ReduceLROnPlateau with the reference's constructor
+    args (utils/util.py:297: mode='min', factor=0.2, threshold=0.01,
+    patience=5), driven by an adversarial metric sequence that exercises
+    improvement, stagnation, near-threshold improvement, and decay."""
+    from gcc_tpu.utils.schedule import Plateau
+
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=2e-4)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.2, threshold=0.01, patience=5)
+    ours = Plateau(2e-4, factor=0.2, threshold=0.01, patience=5)
+
+    rng = np.random.RandomState(0)
+    metrics = [10.0, 9.0, 8.95, 8.94, 8.93, 8.92, 8.91, 8.90, 8.89, 8.88,
+               8.0, 7.99]
+    metrics += list(8.0 + rng.rand(30))  # noise around a plateau
+    theirs_lrs, ours_lrs = [], []
+    for mtr in metrics:
+        sched.step(mtr)
+        theirs_lrs.append(opt.param_groups[0]["lr"])
+        ours_lrs.append(ours.step(mtr))
+    np.testing.assert_allclose(ours_lrs, theirs_lrs, rtol=1e-9)
+    assert theirs_lrs[-1] < 2e-4  # the sequence actually triggered decay
+
+
 def test_ema_beta_schedule():
     from gcc_tpu.config import Config
     from gcc_tpu.utils.schedule import ema_beta_for_epoch
