@@ -300,7 +300,7 @@ def run(cfg) -> int:
                     engine.checkpoint_payload(state, epoch, current_perf))
         if cfg.darts_discriminator:
             for name, ratio in sparsity_report(
-                    _arch_trees(state)).items():
+                    _arch_trees(state), threshold=cfg.threshold).items():
                 logger.info(f"{name} sparsity ratio: {ratio:.2f}")
         logger.info(f"End of epoch {epoch} / {total_epochs} \t "
                     f"Time Taken: {int(time.time() - epoch_start)} sec \t "

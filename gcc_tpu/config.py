@@ -89,15 +89,24 @@ class Config:
     darts_discriminator: bool = False
     arch_lr: float = 1e-4
     arch_lr_step: bool = False
-    lambda_alpha: float = 0.01
     ema_beta: float = 1.0
+    threshold: float = 0.5
+    # adaptive_ema (options/options.py:92) is dead in the reference: all four
+    # models apply the adaptive ema_beta schedule UNCONDITIONALLY at epoch end
+    # (Pix2Pix.py:611, CycleGAN.py:621, SAGAN.py:553, SRGAN.py:551); we match
+    # that behavior (utils/schedule.ema_beta_for_epoch), so the flag is
+    # declared for CLI parity only and intentionally unread.
     adaptive_ema: bool = False
+    # The five flags below are declared by the reference CLI
+    # (options/options.py:90-97) but NEVER read by any reference code path
+    # (the only mentions are commented-out blocks, e.g. SAGAN.py:334-335).
+    # Declared here for script/flag-surface parity; intentionally unread.
+    lambda_alpha: float = 0.01
     regular: bool = False
     arch_base_loss: bool = False
     only_arch_base: bool = False
     normalize_arch: bool = False
     clear_arch: bool = False
-    threshold: float = 0.5
 
     # ---- distillation (options/options.py:101-107) ----
     online_distillation: bool = False

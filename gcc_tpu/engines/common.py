@@ -159,8 +159,12 @@ def discrepancy(pred_fake: jax.Array, gan_mode: str) -> jax.Array:
 
 
 def ema_update(prev: jax.Array, new: jax.Array, beta) -> jax.Array:
-    """EMA with first-call bootstrap: prev==0 means uninitialized
-    (models/Pix2Pix.py:503-510)."""
+    """EMA with first-call bootstrap: prev==0 means uninitialized.
+
+    Zero-as-uninitialized is the REFERENCE's own semantics — it branches on
+    ``current_D_arch_diff_loss != 0.0`` (models/Pix2Pix.py:504-508), so a
+    legitimately-zero EMA re-bootstraps there too. Preserved deliberately
+    (measure-zero event; an init flag would change reference behavior)."""
     return jnp.where(prev == 0.0, new, beta * new + (1.0 - beta) * prev)
 
 

@@ -64,18 +64,19 @@ def clip_alphas(arch_tree):
     return jax.tree_util.tree_map(lambda a: jnp.clip(a, 0.0, 1.0), arch_tree)
 
 
-def current_masks(arch_tree):
-    """get_current_mask() per gate, for sparsity reporting (l.58-59)."""
+def current_masks(arch_tree, threshold: float = 0.5):
+    """get_current_mask() per gate, for sparsity reporting (l.58-59).
+    `threshold` must match the gates' --threshold for an accurate report."""
     return jax.tree_util.tree_map(
-        lambda a: (jnp.sign(a - 0.5) + 1.0) / 2.0, arch_tree)
+        lambda a: (jnp.sign(a - threshold) + 1.0) / 2.0, arch_tree)
 
 
-def sparsity_report(arch_tree) -> dict:
+def sparsity_report(arch_tree, threshold: float = 0.5) -> dict:
     """name -> fraction of masked-off channels (models/Pix2Pix.py:595-600)."""
     flat = jax.tree_util.tree_flatten_with_path(arch_tree)[0]
     out = {}
     for path, alpha in flat:
         name = "/".join(str(getattr(k, "key", k)) for k in path)
-        mask = (jnp.sign(alpha - 0.5) + 1.0) / 2.0
+        mask = (jnp.sign(alpha - threshold) + 1.0) / 2.0
         out[name] = float(jnp.mean(mask == 0.0))
     return out
