@@ -22,7 +22,30 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host (pod-slice) runtime initialization.
+
+    Single-host slices (e.g. v5e-8, the BASELINE.json target) need none of
+    this — `jax.devices()` already sees all chips. On multi-host slices call
+    this ONCE before any jax computation; with no arguments
+    `jax.distributed.initialize` auto-detects the coordinator from the TPU
+    metadata, after which `jax.devices()` returns the GLOBAL device list and
+    `make_mesh` spans hosts (collectives ride ICI within the slice).
+    """
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """1-D data-parallel mesh over the first n (global) devices.
+
+    Uses `jax.devices()`: on a single host that is the local chips; on a
+    multi-host slice it is the global list PROVIDED `init_distributed()`
+    ran first (otherwise each process sees only local devices).
+    """
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]

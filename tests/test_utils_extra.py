@@ -90,3 +90,24 @@ def test_lottery_transplant_shapes():
     # unpruned layers copied wholesale
     np.testing.assert_array_equal(np.asarray(out["conv_in"]["kernel"]),
                                   np.asarray(fp["conv_in"]["kernel"]))
+
+
+def test_get_data_sr_technique(tmp_path):
+    """SR download path (datasets/download_esrgan_dataset.sh parity):
+    offline it must fail fast with the fetch URL in the message."""
+    import socket
+    import pytest as _pytest
+    from gcc_tpu.utils.get_data import GetData
+
+    gd = GetData(technique="sr", save_path=str(tmp_path))
+    assert {"flickr2k", "coco_train2014", "coco_val2014",
+            "sr_testsets"} <= set(gd.available())
+    with _pytest.raises(ValueError):
+        gd.get("not_a_dataset")
+    old = socket.getdefaulttimeout()
+    socket.setdefaulttimeout(3)
+    try:
+        with _pytest.raises(RuntimeError, match="Flickr2K.tar"):
+            gd.get("flickr2k")
+    finally:
+        socket.setdefaulttimeout(old)
