@@ -249,4 +249,31 @@ class TestFlashAttentionVJP:
 
         rq, rk, rv = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
         np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=1e-4)
         np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=1e-4)
+
+    def test_grads_multiblock_nonmultiple_n(self):
+        """Blockwise backward across several q/k blocks with padding: N=130
+        over 64-blocks exercises block loops AND the padded-row/key masking
+        in both bwd kernels."""
+        import numpy as np
+        import jax, jax.numpy as jnp
+        from gcc_tpu.ops.pallas.attention import (_reference_attention,
+                                                  flash_attention)
+        rng = np.random.RandomState(1)
+        q = jnp.asarray(rng.randn(1, 130, 8).astype(np.float32) * 0.3)
+        k = jnp.asarray(rng.randn(1, 130, 8).astype(np.float32) * 0.3)
+        v = jnp.asarray(rng.randn(1, 130, 8).astype(np.float32))
+        co = jnp.asarray(rng.randn(1, 130, 8).astype(np.float32))
+
+        def loss(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, 64, 64, True) * co)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(_reference_attention(q, k, v) * co)
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("qkv", g, r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, err_msg=name)
