@@ -42,12 +42,31 @@ def make_split(n, size, seed=0):
     return A, B
 
 
+def pixel_frechet(fakes: np.ndarray, reals: np.ndarray) -> float:
+    """Distributional quality proxy: Frechet distance between 8x8-pooled
+    pixel features of generated and real images (no evaluator weights
+    needed; same Frechet math as FID, gcc_tpu.metrics.fid)."""
+    from gcc_tpu.metrics.fid import frechet_distance
+
+    def feats(x):
+        n, h, w, c = x.shape
+        f = x.reshape(n, 8, h // 8, 8, w // 8, c).mean((2, 4))
+        return f.reshape(n, -1).astype(np.float64)
+
+    ff, fr = feats(fakes), feats(reals)
+    mu_f, mu_r = ff.mean(0), fr.mean(0)
+    cov_f = np.cov(ff, rowvar=False)
+    cov_r = np.cov(fr, rowvar=False)
+    return float(frechet_distance(mu_f, cov_f, mu_r, cov_r))
+
+
 def evaluate(eng, state, A_val, B_val, jnp):
     fake = np.asarray(eng.generate(state, jnp.asarray(A_val)), np.float32)
     l1 = float(np.abs(fake - B_val).mean())
     mse = float(((fake - B_val) ** 2).mean())
     psnr = 10 * np.log10(4.0 / max(mse, 1e-12))  # range [-1,1] -> peak 2
-    return l1, psnr
+    pfid = pixel_frechet(fake, B_val)
+    return l1, psnr, pfid
 
 
 def run_branch(kind: str, student_cfgs, args, jnp, jax):
@@ -90,11 +109,13 @@ def run_branch(kind: str, student_cfgs, args, jnp, jax):
             else:
                 state, m = eng.train_step(state, batch, lr)
         if epoch % args.eval_every == 0 or epoch == args.epochs:
-            l1, psnr = evaluate(eng, state, A_val, B_val, jnp)
+            l1, psnr, pfid = evaluate(eng, state, A_val, B_val, jnp)
             curve.append({"epoch": epoch, "val_L1": round(l1, 5),
-                          "val_PSNR": round(psnr, 3)})
+                          "val_PSNR": round(psnr, 3),
+                          "val_pixelFID": round(pfid, 5)})
             print(f"[{kind}] epoch {epoch:3d}  val_L1 {l1:.5f}  "
-                  f"val_PSNR {psnr:.3f}", flush=True)
+                  f"val_PSNR {psnr:.3f}  val_pixelFID {pfid:.5f}",
+                  flush=True)
     return {"kind": kind, "curve": curve,
             "wall_sec": round(time.time() - t0, 1),
             "final": curve[-1]}
@@ -113,6 +134,8 @@ def main():
     p.add_argument("--train_n", type=int, default=256)
     p.add_argument("--val_n", type=int, default=64)
     p.add_argument("--eval_every", type=int, default=5)
+    p.add_argument("--prune_frac", type=float, default=0.5,
+                   help="student MACs as a fraction of the dense student")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--out", default=os.path.join(
@@ -143,7 +166,7 @@ def main():
     dense_g = unet_macs(None, num_downs=args.num_downs, ngf=args.ngf,
                         image_size=args.size) / 1e9
     fc, cc, got = prune_unet(params, mode="scale", ngf=args.ngf,
-                             target_budget_g=dense_g * 0.5,
+                             target_budget_g=dense_g * args.prune_frac,
                              tolerance_g=dense_g * 0.05,
                              num_downs=args.num_downs, image_size=args.size)
     print(f"student pruned to {got:.4f} GMACs (dense {dense_g:.4f})",
