@@ -93,7 +93,9 @@ def main() -> None:
         student_cfgs = (None, None)
     else:
         size, ngf, ndf, tngf, tndf, downs = 256, 32, 128, 64, 128, 8
-        batch = args.batch or 64  # batch sweep: 64 ~ +22% over 16 on v5e
+        # batch sweep on v5e: 16 -> 64 ~ +22%; 64 -> 128 ~ +2.8% (203.5 ->
+        # 209.1 img/s/chip measured); 256 regresses (197). 128 is the knee.
+        batch = args.batch or 128
         # realistic pruned student: derive a 3.0 GMACs cfg from spread weights
         from gcc_tpu.models.generators import UnetGenerator
         rng_np = np.random.RandomState(0)

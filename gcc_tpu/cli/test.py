@@ -50,6 +50,18 @@ def main(argv=None) -> int:
 
     # dump images (test.py:25-58)
     import jax.numpy as jnp
+
+    sp = max(1, int(cfg.spatial_shards))
+    if sp > 1:
+        logger.info(f"spatial partitioning: image rows sharded {sp}-way")
+
+    def gen(x, **kw):
+        # image-input generators can shard H across devices (SP); z-input
+        # SAGAN has no spatial axis on its input
+        if sp > 1 and cfg.model != "sagan":
+            return engine.generate_spatial(state, x, n_spatial=sp, **kw)
+        return engine.generate(state, x, **kw)
+
     result_dir = os.path.join(run_dir, "test_results")
     loader = create_dataset(cfg.replace(batch_size=1, serial_batches=True,
                                         no_flip=True), seed=0)
@@ -59,7 +71,7 @@ def main(argv=None) -> int:
         # visual sets mirror get_current_visuals (Pix2Pix.py:686-692 etc.)
         if "pix2pix" in cfg.model:
             kin, kout = ("B", "A") if cfg.direction == "BtoA" else ("A", "B")
-            fake = engine.generate(state, jnp.asarray(batch[kin]))
+            fake = gen(jnp.asarray(batch[kin]))
             visuals = {"real_A": batch[kin], "fake_B": np.asarray(fake),
                        "real_B": batch[kout]}
             name = os.path.basename(batch["A_paths"][0])
@@ -69,15 +81,15 @@ def main(argv=None) -> int:
                        "real_img": batch["real_img"]}
             name = batch["img_path"][0]
         elif cfg.model == "srgan":
-            fake = engine.generate(state, jnp.asarray(batch["lr"]))
+            fake = gen(jnp.asarray(batch["lr"]))
             visuals = {"fake_hr": np.asarray(fake), "real_hr": batch["hr"]}
             name = batch["hr_names"][0]
         else:  # cyclegan
             A, B = jnp.asarray(batch["A"]), jnp.asarray(batch["B"])
-            fake_B = engine.generate(state, A, direction="AtoB")
-            rec_A = engine.generate(state, fake_B, direction="BtoA")
-            fake_A = engine.generate(state, B, direction="BtoA")
-            rec_B = engine.generate(state, fake_A, direction="AtoB")
+            fake_B = gen(A, direction="AtoB")
+            rec_A = gen(fake_B, direction="BtoA")
+            fake_A = gen(B, direction="BtoA")
+            rec_B = gen(fake_A, direction="AtoB")
             visuals = {"real_A": batch["A"], "fake_B": np.asarray(fake_B),
                        "rec_A": np.asarray(rec_A), "real_B": batch["B"],
                        "fake_A": np.asarray(fake_A),

@@ -433,6 +433,14 @@ class CycleGANEngine(CombinedStepMixin):
         out, _, _ = apply_net(mod, net, x, train=False, update_stats=False)
         return out
 
+    def generate_spatial(self, state, x, n_spatial=None, mesh=None,
+                         direction: str = "AtoB"):
+        from gcc_tpu.parallel.spatial import spatial_apply
+        mod, net = ((self.G_A, "g_a") if direction == "AtoB"
+                    else (self.G_B, "g_b"))
+        return spatial_apply(mod, state.nets[net], x, mesh=mesh,
+                             n_spatial=n_spatial)
+
     # ------------------------------------------------------------- checkpoint
 
     def checkpoint_payload(self, state, epoch, metric=None) -> dict:
