@@ -1,12 +1,19 @@
-"""Convert a reference (torch) GCC checkpoint into a GCC-TPU checkpoint.
+"""Convert checkpoints between the reference (torch) and GCC-TPU formats.
 
-Brings trained reference models across: generators and discriminators port
-layer-for-layer (gcc_tpu.utils.torch_port); the `cfg` pruned-architecture
-tuple is carried over so the rebuilt topology matches.
+Forward (default): brings trained reference models across — generators and
+discriminators port layer-for-layer (gcc_tpu.utils.torch_port); the `cfg`
+pruned-architecture tuple is carried over so the rebuilt topology matches.
+
+Reverse (--reverse): exports a GCC-TPU checkpoint back to the reference's
+.pth container (gcc_tpu.utils.torch_export), so models trained here can be
+evaluated/served with the reference's own tooling.
 
 Usage:
   python -m gcc_tpu.cli.convert --model pix2pix \
       --pretrain_path /path/model_best_BtoA.pth --output converted.ckpt
+  python -m gcc_tpu.cli.convert --model pix2pix --reverse \
+      --pretrain_path experiments/run/checkpoints/model_best_BtoA.ckpt \
+      --output model_best_BtoA.pth
 """
 
 from __future__ import annotations
@@ -71,6 +78,14 @@ def convert(model: str, in_path: str, out_path: str,
     return out
 
 
+def convert_reverse(model: str, in_path: str, out_path: str,
+                    num_downs: int = 8, n_blocks: int = 9) -> dict:
+    from gcc_tpu.utils.checkpoint import load_checkpoint
+    from gcc_tpu.utils.torch_export import export_checkpoint
+    return export_checkpoint(model, load_checkpoint(in_path), out_path,
+                             num_downs=num_downs, n_blocks=n_blocks)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--model", required=True)
@@ -78,8 +93,11 @@ def main(argv=None) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--num_downs", type=int, default=8)
     p.add_argument("--n_blocks", type=int, default=9)
+    p.add_argument("--reverse", action="store_true",
+                   help="export a GCC-TPU ckpt to the reference .pth format")
     a = p.parse_args(argv)
-    convert(a.model, a.pretrain_path, a.output, a.num_downs, a.n_blocks)
+    fn = convert_reverse if a.reverse else convert
+    fn(a.model, a.pretrain_path, a.output, a.num_downs, a.n_blocks)
     print(f"converted {a.pretrain_path} -> {a.output}")
     return 0
 
