@@ -54,6 +54,12 @@ class Loader:
         return batches
 
     def __iter__(self) -> Iterator[Dict]:
+        # Per-ITEM task submission: every image in a batch decodes on its own
+        # pool thread (PIL/the native engine release the GIL), so one batch
+        # saturates all workers instead of building serially on one thread —
+        # a batch-128 step would otherwise starve the device on real data.
+        # `prefetch` batches of item-futures stay in flight to overlap the
+        # next batch's host work with device compute; batch order preserved.
         batches = self._index_batches()
         with futures.ThreadPoolExecutor(self.num_threads) as pool:
             pending = []
@@ -64,17 +70,17 @@ class Loader:
                     b = next(it)
                 except StopIteration:
                     return False
-                pending.append(pool.submit(
-                    lambda idxs: collate([self.dataset[i] for i in idxs]), b))
+                pending.append([pool.submit(self.dataset.__getitem__, int(i))
+                                for i in b])
                 return True
 
             for _ in range(self.prefetch):
                 if not submit_next():
                     break
             while pending:
-                fut = pending.pop(0)
+                futs = pending.pop(0)
                 submit_next()
-                yield fut.result()
+                yield collate([f.result() for f in futs])
 
 
 class InfiniteLoader:
