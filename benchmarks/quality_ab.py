@@ -91,6 +91,9 @@ def run_branch(kind: str, student_cfgs, args, jnp, jax):
     A_val, B_val = make_split(args.val_n, args.size, seed=2)
     n_batches = args.train_n // args.batch
     order_rng = np.random.RandomState(args.seed)
+    # separate stream for darts val batches: the gcc branch must not
+    # advance order_rng, or the two branches see different shuffle orders
+    val_rng = np.random.RandomState(args.seed + 1)
 
     curve = []
     t0 = time.time()
@@ -102,7 +105,7 @@ def run_branch(kind: str, student_cfgs, args, jnp, jax):
             idx = perm[bi * args.batch:(bi + 1) * args.batch]
             batch = {"A": jnp.asarray(A_tr[idx]), "B": jnp.asarray(B_tr[idx])}
             if gcc:
-                vidx = order_rng.randint(0, args.train_n, args.batch)
+                vidx = val_rng.randint(0, args.train_n, args.batch)
                 val_b = {"A": jnp.asarray(A_tr[vidx]),
                          "B": jnp.asarray(B_tr[vidx])}
                 state, m = eng.train_arch_step(state, batch, val_b, lr, beta)

@@ -104,6 +104,9 @@ def run_branch(kind: str, cfgs, args, jnp, jax):
     A_val, B_val = make_domains(args.val_n, args.size, seed_a=33, seed_b=44)
     n_batches = args.train_n // args.batch
     order_rng = np.random.RandomState(args.seed)
+    # separate stream for darts val batches (keeps both branches' shuffle
+    # orders identical)
+    val_rng = np.random.RandomState(args.seed + 1)
 
     curve = []
     t0 = time.time()
@@ -117,8 +120,8 @@ def run_branch(kind: str, cfgs, args, jnp, jax):
             ib = perm_b[bi * args.batch:(bi + 1) * args.batch]
             batch = {"A": jnp.asarray(A_tr[ia]), "B": jnp.asarray(B_tr[ib])}
             if gcc:
-                va = order_rng.randint(0, args.train_n, args.batch)
-                vb = order_rng.randint(0, args.train_n, args.batch)
+                va = val_rng.randint(0, args.train_n, args.batch)
+                vb = val_rng.randint(0, args.train_n, args.batch)
                 val_b = {"A": jnp.asarray(A_tr[va]),
                          "B": jnp.asarray(B_tr[vb])}
                 state, m = eng.train_arch_step(state, batch, val_b, lr, beta)
@@ -181,13 +184,14 @@ def main():
 
     dense_g = mobile_resnet_macs(None, ngf=args.ngf,
                                  image_size=args.size) / 1e9
-    cfgs = []
+    cfgs, gots = [], []
     for seed in (1, 2):
         c, got = prune_mobile_resnet(
             spread(seed), target_budget_g=dense_g * args.prune_frac,
             tolerance_g=dense_g * 0.05, image_size=args.size)
         cfgs.append(c)
-    print(f"students pruned to ~{got:.4f} GMACs (dense {dense_g:.4f})",
+        gots.append(round(got, 4))
+    print(f"students pruned to {gots} GMACs (dense {dense_g:.4f})",
           flush=True)
 
     results = {
@@ -195,7 +199,7 @@ def main():
                    ("epochs", "size", "ngf", "ndf", "teacher_ngf",
                     "teacher_ndf", "batch", "train_n", "val_n", "pool",
                     "prune_frac", "seed")},
-        "student_gmacs": round(got, 4),
+        "student_gmacs": gots,
         "backend": jax.default_backend(),
         "branches": [run_branch("plain", cfgs, args, jnp, jax),
                      run_branch("gcc", cfgs, args, jnp, jax)],

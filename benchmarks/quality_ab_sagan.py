@@ -86,6 +86,9 @@ def run_branch(kind: str, filter_cfgs, args, jnp, jax):
         args.val_n, args.z_dim), np.float32)  # fixed eval latents
     n_batches = args.train_n // args.batch
     order_rng = np.random.RandomState(args.seed)
+    # separate streams for darts val batches: the gcc branch must not
+    # advance order_rng/z_rng, or branches see different train data
+    val_rng = np.random.RandomState(args.seed + 1)
 
     curve = []
     t0 = time.time()
@@ -99,8 +102,8 @@ def run_branch(kind: str, filter_cfgs, args, jnp, jax):
                          args.batch, args.z_dim).astype(np.float32)),
                      "real_img": jnp.asarray(reals[idx])}
             if gcc:
-                vi = order_rng.randint(0, args.train_n, args.batch)
-                val_b = {"z": jnp.asarray(z_rng.randn(
+                vi = val_rng.randint(0, args.train_n, args.batch)
+                val_b = {"z": jnp.asarray(val_rng.randn(
                              args.batch, args.z_dim).astype(np.float32)),
                          "real_img": jnp.asarray(reals[vi])}
                 state, m = eng.train_arch_step(state, batch, val_b, lr, beta)

@@ -99,6 +99,7 @@ def run_branch(kind: str, filter_cfgs, args, jnp, jax):
     lr_val, hr_val = make_split(args.val_n, args.size, args.scale, seed=2)
     n_batches = args.train_n // args.batch
     order_rng = np.random.RandomState(args.seed)
+    val_rng = np.random.RandomState(args.seed + 1)  # keeps branches' shuffle orders identical
 
     curve = []
     t0 = time.time()
@@ -111,7 +112,7 @@ def run_branch(kind: str, filter_cfgs, args, jnp, jax):
             batch = {"lr": jnp.asarray(lr_tr[idx]),
                      "hr": jnp.asarray(hr_tr[idx])}
             if gcc:
-                vi = order_rng.randint(0, args.train_n, args.batch)
+                vi = val_rng.randint(0, args.train_n, args.batch)
                 val_b = {"lr": jnp.asarray(lr_tr[vi]),
                          "hr": jnp.asarray(hr_tr[vi])}
                 state, m = eng.train_arch_step(state, batch, val_b, lr, beta)

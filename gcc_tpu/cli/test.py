@@ -52,8 +52,12 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     sp = max(1, int(cfg.spatial_shards))
-    if sp > 1:
-        logger.info(f"spatial partitioning: image rows sharded {sp}-way")
+    if sp > 1 and cfg.model == "sagan":
+        logger.warning("--spatial_shards ignored: SAGAN's z input has no "
+                       "spatial axis")
+    elif sp > 1:
+        logger.info(f"spatial partitioning: image rows sharded up to "
+                    f"{sp}-way (auto-reduced per image height)")
 
     def gen(x, **kw):
         # image-input generators can shard H across devices (SP); z-input

@@ -25,6 +25,7 @@ from typing import Dict, Optional
 import numpy as np
 from PIL import Image
 
+from gcc_tpu.data.rng import LockedRandomState
 from gcc_tpu.data.image_folder import make_dataset, make_split_dataset
 from gcc_tpu.data.transforms import (
     apply_transform, center_crop, get_params, to_tensor_norm,
@@ -38,7 +39,7 @@ class AlignedDataset:
         self.dir_AB = os.path.join(cfg.dataroot, cfg.phase)
         self.AB_paths = sorted(make_dataset(self.dir_AB, cfg.max_dataset_size))
         assert cfg.load_size >= cfg.crop_size
-        self.rng = np.random.RandomState(seed)
+        self.rng = LockedRandomState(seed)
 
     def __len__(self):
         return len(self.AB_paths)
@@ -71,7 +72,7 @@ class UnalignedDataset:
                                                cfg.max_dataset_size))
             self.B_paths = sorted(make_dataset(self.dir_B,
                                                cfg.max_dataset_size))
-        self.rng = np.random.RandomState(seed)
+        self.rng = LockedRandomState(seed)
 
     def __len__(self):
         return max(len(self.A_paths), len(self.B_paths))
@@ -94,7 +95,7 @@ class SADataset:
         self.cfg = cfg
         self.data_folder = os.path.join(cfg.dataroot, cfg.phase)
         self.image_file_names = sorted(os.listdir(self.data_folder))
-        self.rng = np.random.RandomState(seed)
+        self.rng = LockedRandomState(seed)
 
     def __len__(self):
         return len(self.image_file_names)
@@ -121,7 +122,7 @@ class SRDataset:
         self.crop_size = int(cfg.image_size)
         self.scale = int(cfg.upscale_factor)
         self.image_file_names = sorted(os.listdir(self.data_folder))
-        self.rng = np.random.RandomState(seed)
+        self.rng = LockedRandomState(seed)
 
     def __len__(self):
         return len(self.image_file_names)
@@ -159,7 +160,7 @@ class SyntheticDataset:
         self.mode = cfg.dataset_mode if cfg.dataset_mode != "synthetic" else {
             "pix2pix": "aligned", "cyclegan": "unaligned",
             "sagan": "sa", "srgan": "sr"}.get(cfg.model, "aligned")
-        self.rng = np.random.RandomState(seed)
+        self.rng = LockedRandomState(seed)
 
     def __len__(self):
         return self.length

@@ -194,16 +194,19 @@ class CombinedStepMixin:
                                   jnp.float32(arch_lr))
 
     def generate_spatial(self, state, x, n_spatial=None, mesh=None,
-                         net: str = "g"):
+                         teacher: bool = False):
         """Eval forward with the image H axis sharded across devices.
 
         Spatial partitioning (gcc_tpu.parallel.spatial): serves images whose
         activation footprint exceeds one chip's HBM by splitting rows over
         the 'spatial' mesh axis; XLA SPMD inserts the conv halo exchanges.
-        Image-input generators only (SAGAN's z input has no spatial axis —
-        use generate()). CycleGANEngine overrides to pick a direction."""
+        Shard count auto-reduces to the largest divisor of the image height
+        (arbitrary eval sizes never crash). Image-input generators only
+        (SAGAN's z input has no spatial axis — use generate()).
+        CycleGANEngine overrides to pick a direction."""
         from gcc_tpu.parallel.spatial import spatial_apply
-        return spatial_apply(self.G, state.nets[net], x, mesh=mesh,
+        mod, net = (self.TG, "tg") if teacher else (self.G, "g")
+        return spatial_apply(mod, state.nets[net], x, mesh=mesh,
                              n_spatial=n_spatial)
 
 

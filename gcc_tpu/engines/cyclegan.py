@@ -434,10 +434,12 @@ class CycleGANEngine(CombinedStepMixin):
         return out
 
     def generate_spatial(self, state, x, n_spatial=None, mesh=None,
-                         direction: str = "AtoB"):
+                         direction: str = "AtoB", teacher: bool = False):
         from gcc_tpu.parallel.spatial import spatial_apply
-        mod, net = ((self.G_A, "g_a") if direction == "AtoB"
-                    else (self.G_B, "g_b"))
+        if direction == "AtoB":
+            mod, net = ((self.TG_A, "tg_a") if teacher else (self.G_A, "g_a"))
+        else:
+            mod, net = ((self.TG_B, "tg_b") if teacher else (self.G_B, "g_b"))
         return spatial_apply(mod, state.nets[net], x, mesh=mesh,
                              n_spatial=n_spatial)
 

@@ -73,11 +73,19 @@ def _collect(cfg, engine, state, loader, key_in: str, key_out: str,
     import jax.numpy as jnp
     fakes, reals, inputs = [], [], []
     n = 0
+    # --spatial_shards: rows shard across devices (parallel/spatial.py);
+    # shard count auto-reduces per image height. z-input SAGAN excluded.
+    sp = max(1, int(getattr(cfg, "spatial_shards", 1)))
+    use_sp = sp > 1 and cfg.model != "sagan"
     for batch in loader:
         x = jnp.asarray(batch[key_in])
         if "cyclegan" in cfg.model:
-            fake = engine.generate(state, x, direction=direction,
-                                   teacher=teacher)
+            gen = engine.generate_spatial if use_sp else engine.generate
+            kw = {"n_spatial": sp} if use_sp else {}
+            fake = gen(state, x, direction=direction, teacher=teacher, **kw)
+        elif use_sp:
+            fake = engine.generate_spatial(state, x, n_spatial=sp,
+                                           teacher=teacher)
         else:
             fake = engine.generate(state, x, teacher=teacher)
         fakes.append(np.asarray(fake, np.float32))

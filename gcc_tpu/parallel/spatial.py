@@ -66,6 +66,20 @@ def shard_batch_spatial(batch: Any, mesh: Mesh) -> Any:
 
 
 _JIT_CACHE: dict = {}
+_JIT_CACHE_MAX = 32
+
+
+def auto_shards(h: int, n_spatial: int) -> int:
+    """Largest shard count <= n_spatial that divides the image height.
+
+    `device_put` requires the sharded dim to divide evenly; eval images have
+    arbitrary heights (e.g. SRDataset test crops are only multiples of the
+    upscale factor, datasets.py:139-141), so callers degrade to the best
+    divisor instead of crashing (worst case 1 = unsharded)."""
+    for k in range(min(h, max(1, n_spatial)), 0, -1):
+        if h % k == 0:
+            return k
+    return 1
 
 
 def jit_spatial_forward(module, mesh: Mesh, train: bool = False):
@@ -75,8 +89,8 @@ def jit_spatial_forward(module, mesh: Mesh, train: bool = False):
     P('data','spatial') and variables are replicated. Memoized on
     (id(module), mesh, train) — cfg-driven modules carry list attributes,
     so Flax's structural hash is unavailable; the cache holds a strong
-    reference to the module to keep its id stable.
-    """
+    reference to the module to keep its id stable. Bounded FIFO so a
+    process that churns through engines cannot accumulate executables."""
     key = (id(module), mesh, train)
     hit = _JIT_CACHE.get(key)
     if hit is not None:
@@ -88,6 +102,8 @@ def jit_spatial_forward(module, mesh: Mesh, train: bool = False):
     def fwd(variables, x):
         return module.apply(variables, x, train=train)
 
+    if len(_JIT_CACHE) >= _JIT_CACHE_MAX:
+        _JIT_CACHE.pop(next(iter(_JIT_CACHE)))
     _JIT_CACHE[key] = (module, fwd)
     return fwd
 
@@ -97,11 +113,21 @@ def spatial_apply(module, variables, x, mesh: Optional[Mesh] = None,
     """One-shot spatially-sharded eval forward (compiles on first shapes).
 
     Convenience wrapper: builds a (1 x n_spatial) mesh over the available
-    devices when none is given, shards `x`, runs, and returns the result
+    devices when none is given — reduced via `auto_shards` so arbitrary
+    image heights never crash — shards `x`, runs, and returns the result
     (still device-resident, spatially sharded; `np.asarray` gathers it).
+    An explicitly passed mesh is validated instead of silently reduced.
     """
     if mesh is None:
-        n_spatial = n_spatial or len(jax.devices())
+        n_spatial = auto_shards(x.shape[1],
+                                n_spatial or len(jax.devices()))
         mesh = make_mesh_2d(1, n_spatial)
+    else:
+        nd, ns = mesh.shape["data"], mesh.shape["spatial"]
+        if x.shape[0] % nd or x.shape[1] % ns:
+            raise ValueError(
+                f"batch {x.shape[0]} / height {x.shape[1]} not divisible by "
+                f"mesh (data={nd}, spatial={ns}); pass n_spatial instead to "
+                f"auto-reduce, or pad the input")
     fwd = jit_spatial_forward(module, mesh)
     return fwd(variables, jax.device_put(x, spatial_sharding(mesh)))

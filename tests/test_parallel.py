@@ -186,3 +186,26 @@ def test_engine_generate_spatial():
     out = eng.generate_spatial(state, lr_img, n_spatial=4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_spatial_auto_reduce_non_divisible_height():
+    """Eval images have arbitrary heights (SRDataset test crops are only
+    multiples of the upscale factor); the shard count must degrade to the
+    largest divisor instead of crashing on device_put."""
+    from gcc_tpu.parallel.spatial import auto_shards
+    assert auto_shards(70, 4) == 2
+    assert auto_shards(7, 4) == 1  # prime height: unsharded
+    assert auto_shards(64, 8) == 8
+    assert auto_shards(1, 8) == 1
+
+    from gcc_tpu.engines.srgan import SRGANEngine
+    cfg = Config(model="srgan", ngf=4, ndf=4, image_size=40,
+                 upscale_factor=4, gan_mode="vanilla")
+    eng = SRGANEngine(cfg)
+    state = eng.init_state(K)
+    rng = np.random.RandomState(6)
+    lr_img = jnp.asarray(rng.rand(1, 10, 10, 3) * 2 - 1, jnp.float32)
+    ref = eng.generate(state, lr_img)
+    out = eng.generate_spatial(state, lr_img, n_spatial=8)  # 10 % 8 -> 5
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
