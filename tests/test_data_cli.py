@@ -151,10 +151,12 @@ def test_train_test_roundtrip_pix2pix(tmp_path):
     assert train_main(args) == 0
     ckpt = os.path.join(exp, "rt", "checkpoints", "model_best_AtoB.ckpt")
     assert os.path.exists(ckpt)
+    # --spatial_shards exercises the SP path through BOTH the image-dump
+    # loop and the metric eval orchestrator (parallel/spatial.py)
     targs = (f"--dataroot synthetic --dataset_mode synthetic --model pix2pix "
              f"--ngf 4 --ndf 4 --num_downs 5 --crop_size 32 --load_size 32 "
              f"--pretrain_path {ckpt} --name rt_test --checkpoints_dir {exp} "
-             f"--ntest 2 --darts_discriminator").split()
+             f"--ntest 2 --darts_discriminator --spatial_shards 4").split()
     assert test_main(targs) == 0
     results = os.listdir(os.path.join(exp, "rt_test", "test_results"))
     assert len(results) >= 2
