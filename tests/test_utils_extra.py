@@ -111,3 +111,25 @@ def test_get_data_sr_technique(tmp_path):
             gd.get("flickr2k")
     finally:
         socket.setdefaulttimeout(old)
+
+
+def test_locked_random_state_concurrent_draws():
+    """Hammer the dataset RNG from many threads: every draw must be a valid
+    sample (no garbled mersenne state) and the draw count must be exact."""
+    import concurrent.futures as futures
+    from gcc_tpu.data.rng import LockedRandomState
+
+    rng = LockedRandomState(0)
+    n_threads, per_thread = 8, 500
+
+    def worker(_):
+        ints = [rng.randint(0, 1000) for _ in range(per_thread)]
+        floats = [float(rng.rand()) for _ in range(per_thread)]
+        return ints, floats
+
+    with futures.ThreadPoolExecutor(n_threads) as pool:
+        results = list(pool.map(worker, range(n_threads)))
+    assert all(0 <= v < 1000 for ints, _ in results for v in ints)
+    assert all(0.0 <= v < 1.0 for _, floats in results for v in floats)
+    assert sum(len(i) + len(f) for i, f in results) == n_threads * per_thread * 2
+    assert 0 <= rng.randint(0, 10) < 10  # state still functional
