@@ -210,3 +210,47 @@ def test_train_roundtrip_cyclegan(tmp_path):
     # cyclegan saves per-direction bests
     files = os.listdir(os.path.join(exp, "cg", "checkpoints"))
     assert any("model_best" in f for f in files)
+
+
+@pytest.mark.slow
+def test_three_stage_workflow_pix2pix(tmp_path):
+    """The canonical reference workflow end-to-end (README.md:38-62):
+    stage 1 sparsity pretrain -> stage 2 prune-from-checkpoint + GCC
+    cooperative train -> stage 3 rebuild-from-cfg test."""
+    from gcc_tpu.cli.train import main as train_main
+    from gcc_tpu.cli.test import main as test_main
+    from gcc_tpu.utils.checkpoint import load_checkpoint, restore_cfg
+    exp = str(tmp_path / "experiments")
+
+    common = (f"--dataroot synthetic --dataset_mode synthetic "
+              f"--model pix2pix --ngf 4 --ndf 4 --num_downs 5 "
+              f"--crop_size 32 --load_size 32 --batch_size 4 "
+              f"--n_epochs 1 --n_epochs_decay 0 --save_epoch_freq 1 "
+              f"--checkpoints_dir {exp} --print_freq 100")
+
+    # stage 1: L1-sparsity pretrain on BN scales (grad injection)
+    assert train_main((common + " --lambda_scale 1e-2 --name s1").split()) == 0
+    ckpt1 = os.path.join(exp, "s1", "checkpoints", "model_best_AtoB.ckpt")
+    assert os.path.exists(ckpt1)
+
+    # stage 2: prune the sparse checkpoint to a budget, attach teacher +
+    # masked D, GCC cooperative train
+    assert train_main(
+        (common + f" --scale_prune --target_budget 0.001 "
+                  f"--pretrain_path {ckpt1} --teacher_ngf 8 --teacher_ndf 8 "
+                  f"--online_distillation --darts_discriminator "
+                  f"--lambda_content 50 --lambda_gram 1e4 "
+                  f"--name s2").split()) == 0
+    ckpt2 = os.path.join(exp, "s2", "checkpoints", "model_best_AtoB.ckpt")
+    fc, cc = restore_cfg(load_checkpoint(ckpt2))
+    assert fc is not None and cc is not None  # pruned topology travels
+    from gcc_tpu.models.generators import unet_default_filter_cfgs
+    assert list(fc) != unet_default_filter_cfgs(4, 5)  # actually pruned
+
+    # stage 3: rebuild the pruned architecture from the ckpt cfg alone
+    assert test_main(
+        (f"--dataroot synthetic --dataset_mode synthetic --model pix2pix "
+         f"--ngf 4 --ndf 4 --num_downs 5 --crop_size 32 --load_size 32 "
+         f"--pretrain_path {ckpt2} --name s3 --checkpoints_dir {exp} "
+         f"--ntest 2").split()) == 0
+    assert os.listdir(os.path.join(exp, "s3", "test_results"))
