@@ -254,3 +254,27 @@ def test_three_stage_workflow_pix2pix(tmp_path):
          f"--pretrain_path {ckpt2} --name s3 --checkpoints_dir {exp} "
          f"--ntest 2").split()) == 0
     assert os.listdir(os.path.join(exp, "s3", "test_results"))
+
+
+@pytest.mark.slow
+def test_continue_train_resumes(tmp_path):
+    """--continue_train restores the FULL state (params + Adam moments +
+    EMA + rng) and continues at the next epoch — the reference declares the
+    flag but never uses it (options/options.py:29)."""
+    import json
+    from gcc_tpu.cli.train import main as train_main
+    exp = str(tmp_path / "experiments")
+    base = (f"--dataroot synthetic --dataset_mode synthetic --model pix2pix "
+            f"--ngf 4 --ndf 4 --num_downs 5 --crop_size 32 --load_size 32 "
+            f"--batch_size 4 --n_epochs_decay 0 --save_epoch_freq 1 "
+            f"--checkpoints_dir {exp} --print_freq 100 --name resume")
+    assert train_main((base + " --n_epochs 1").split()) == 0
+    meta = os.path.join(exp, "resume", "checkpoints", "train_state.json")
+    with open(meta) as f:
+        assert json.load(f)["epoch"] == 1
+    # second invocation continues at epoch 2 instead of restarting
+    assert train_main((base + " --n_epochs 2 --continue_train").split()) == 0
+    with open(meta) as f:
+        assert json.load(f)["epoch"] == 2
+    log = open(os.path.join(exp, "resume", "logger.log")).read()
+    assert "continuing at epoch 2" in log
