@@ -56,7 +56,7 @@ def _spread_params(module, example, seed=0):
     return jax.tree_util.tree_map(leaf, shapes)
 
 
-def bench_family(name: str, batch: int, steps: int):
+def bench_family(name: str, batch: int, steps: int, infer: bool = False):
     import jax
     import jax.numpy as jnp
     from gcc_tpu.config import Config
@@ -118,6 +118,30 @@ def bench_family(name: str, batch: int, steps: int):
         raise ValueError(name)
 
     state = eng.init_state(jax.random.PRNGKey(0))
+
+    if infer:
+        # serving: pruned student generator, eval mode
+        key = {"cyclegan": "A", "sagan": "z", "srgan": "lr"}[name]
+        x = batch_d[key]
+        gen = (lambda s, x: eng.generate(s, x, "AtoB")) \
+            if name == "cyclegan" else eng.generate
+        y = gen(state, x)
+        _ = float(jax.tree_util.tree_leaves(y)[0].reshape(-1)[0])
+        window = max(1, steps)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(window):
+                y = gen(state, x)
+            _ = float(jax.tree_util.tree_leaves(y)[0].reshape(-1)[0])
+            times.append(time.perf_counter() - t0)
+        ips = batch * window / min(times)
+        print(json.dumps({"family": name,
+                          "metric": "inference images/sec/chip",
+                          "value": round(ips, 2), "batch": batch}),
+              flush=True)
+        return
+
     for _ in range(3):
         state, m = eng.train_arch_step(state, batch_d, val_d, 2e-4, 0.9)
     _ = float(jax.tree_util.tree_leaves(m)[0])  # tunnel-safe sync
@@ -154,13 +178,16 @@ def main():
     p.add_argument("--batch_sagan", type=int, default=256)  # knee: 3012@64 -> 4358@256
     p.add_argument("--batch_srgan", type=int, default=128)  # knee: 727@32 -> 1538@128, flat at 256
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--infer", action="store_true",
+                   help="pruned-student generator serving throughput "
+                        "(eval mode) instead of the training iteration")
     args = p.parse_args()
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     for fam in args.families.split(","):
         bench_family(fam.strip(), getattr(args, f"batch_{fam.strip()}"),
-                     args.steps)
+                     args.steps, infer=args.infer)
 
 
 if __name__ == "__main__":
