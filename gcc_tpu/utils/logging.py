@@ -10,8 +10,18 @@ import time
 
 def get_logger(file_path: str, name: str = "gcc-tpu") -> logging.Logger:
     logger = logging.getLogger(name)
+    path = os.path.abspath(file_path)
     if logger.handlers:
-        return logger
+        # same run dir: reuse; different run dir (second experiment in one
+        # process, or test processes driving several CLIs): re-point the
+        # file handler so logs land with their own run
+        if any(isinstance(h, logging.FileHandler)
+               and getattr(h, "baseFilename", None) == path
+               for h in logger.handlers):
+            return logger
+        for h in list(logger.handlers):
+            logger.removeHandler(h)
+            h.close()
     fmt = logging.Formatter("%(asctime)s | %(message)s", datefmt="%m/%d %I:%M:%S %p")
     os.makedirs(os.path.dirname(file_path) or ".", exist_ok=True)
     fh = logging.FileHandler(file_path)
