@@ -30,6 +30,8 @@ def summarize(path: str):
         r = json.load(f)
     fam = os.path.basename(path).replace("quality_ab_", "").replace(
         "_result.json", "").replace("result.json", "pix2pix")
+    fam = {"128": "pix2pix-128(ample)",
+           "128_starved": "pix2pix-128(starved)"}.get(fam, fam)
     print(f"\n== {fam}  (student {r.get('student_gmacs')} GMACs, "
           f"backend {r.get('backend')}) ==")
     metrics = [k for k in r["branches"][0]["curve"][0] if k != "epoch"]
@@ -50,7 +52,9 @@ def summarize(path: str):
 
 
 def main():
-    for name in ("quality_ab_result.json", "quality_ab_cyclegan_result.json",
+    for name in ("quality_ab_result.json", "quality_ab_128_result.json",
+                 "quality_ab_128_starved_result.json",
+                 "quality_ab_cyclegan_result.json",
                  "quality_ab_srgan_result.json",
                  "quality_ab_sagan_result.json"):
         p = os.path.join(HERE, name)
