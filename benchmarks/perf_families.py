@@ -26,16 +26,19 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 V5E_BF16_PEAK_TFS = 197.0
+V5E_HBM_GBPS = 819.0  # v5e HBM bandwidth (public spec)
 
 
-def _flops(engine, *args) -> float | None:
+def _cost(engine, *args) -> tuple:
+    """(flops, bytes accessed) of the exact compiled program, from XLA's own
+    cost analysis; (None, None) when the backend doesn't expose it."""
     try:
         ca = engine._jit_combined.lower(*args).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca["flops"])
+        return float(ca["flops"]), float(ca.get("bytes accessed", 0)) or None
     except Exception:
-        return None
+        return None, None
 
 
 def _spread_params(module, example, seed=0):
@@ -146,8 +149,8 @@ def bench_family(name: str, batch: int, steps: int, infer: bool = False):
         state, m = eng.train_arch_step(state, batch_d, val_d, 2e-4, 0.9)
     _ = float(jax.tree_util.tree_leaves(m)[0])  # tunnel-safe sync
 
-    flops = _flops(eng, state, batch_d, val_d, jnp.float32(2e-4),
-                   jnp.float32(0.9), jnp.float32(eng.cfg.arch_lr))
+    flops, nbytes = _cost(eng, state, batch_d, val_d, jnp.float32(2e-4),
+                          jnp.float32(0.9), jnp.float32(eng.cfg.arch_lr))
 
     window = max(1, steps // 3)
     times = []
@@ -166,6 +169,20 @@ def bench_family(name: str, batch: int, steps: int, infer: bool = False):
         out.update({"tflop_per_image": round(flops / batch / 1e12, 4),
                     "measured_tf_per_sec_chip": round(tfs, 2),
                     "mfu_vs_v5e_peak": round(tfs / V5E_BF16_PEAK_TFS, 4)})
+    if flops and nbytes:
+        # Roofline from XLA's own cost model: arithmetic intensity (flop per
+        # HBM byte) caps achievable TF/s at AI * BW until the compute peak.
+        ai = flops / nbytes
+        roof_tfs = min(V5E_BF16_PEAK_TFS, ai * V5E_HBM_GBPS / 1e3)
+        out.update({
+            "bytes_per_image_gb": round(nbytes / batch / 1e9, 4),
+            "arithmetic_intensity_flop_per_byte": round(ai, 2),
+            "roofline_tf_per_sec": round(roof_tfs, 2),
+            "bound_by": ("bandwidth" if ai * V5E_HBM_GBPS / 1e3
+                         < V5E_BF16_PEAK_TFS else "compute"),
+            "pct_of_roofline": round(100.0 * (ips * flops / batch / 1e12)
+                                     / roof_tfs, 1),
+        })
     print(json.dumps(out), flush=True)
     return out
 
@@ -185,9 +202,20 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    results = []
     for fam in args.families.split(","):
-        bench_family(fam.strip(), getattr(args, f"batch_{fam.strip()}"),
-                     args.steps, infer=args.infer)
+        r = bench_family(fam.strip(), getattr(args, f"batch_{fam.strip()}"),
+                         args.steps, infer=args.infer)
+        if r:
+            results.append(r)
+    if results and not args.infer:
+        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "perf_families_result.json")
+        payload = {"backend": jax.default_backend(),
+                   "device": str(jax.devices()[0]),
+                   "ts": time.time(), "families": results}
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -228,14 +228,16 @@ class CooperativeBench:
 
     def __init__(self, size=256, student_cfgs=None, ngf=32, ndf=128,
                  teacher_ngf=64, teacher_ndf=128, lambda_l1=100.0,
-                 lambda_content=50.0, lambda_gram=1e4, num_downs=8):
+                 lambda_content=50.0, lambda_gram=1e4, num_downs=8,
+                 use_dropout=True):
         self.size = size
         self.lambda_l1 = lambda_l1
         self.lambda_content = lambda_content
         self.lambda_gram = lambda_gram
-        self.tG = Unet(teacher_ngf, num_downs)
+        self.tG = Unet(teacher_ngf, num_downs, use_dropout=use_dropout)
         self.tD = PatchGAN(teacher_ndf)
-        self.sG = Unet(ngf, num_downs, filter_cfgs=student_cfgs)
+        self.sG = Unet(ngf, num_downs, filter_cfgs=student_cfgs,
+                       use_dropout=use_dropout)
         self.sD = PatchGAN(ndf, masked=True)
         # 1x1 student->teacher transforms (Pix2Pix.py:402-415): widths of the
         # teacher's 4 hook features
@@ -276,15 +278,18 @@ class CooperativeBench:
         tfake = self.tG(A)
         t_g_feats = [f.clone() for f in self.tG.feats]
         self.opt_tD.zero_grad()
-        ((hinge_loss(self.tD(torch.cat([A, tfake.detach()], 1)), False)
-          + hinge_loss(self.tD(torch.cat([A, B], 1)), True)) * 0.5).backward()
+        loss_tD = (hinge_loss(self.tD(torch.cat([A, tfake.detach()], 1)),
+                              False)
+                   + hinge_loss(self.tD(torch.cat([A, B], 1)), True)) * 0.5
+        loss_tD.backward()
         self.opt_tD.step()
         self._set_grad(self.tD.parameters(), False)
         self.opt_tG.zero_grad()
         pf = self.tD(torch.cat([A, tfake], 1))
         t_d_feats = [f.clone() for f in self.tD.feats]
-        (hinge_loss(pf, True, for_discriminator=False)
-         + self.lambda_l1 * F.l1_loss(tfake, B)).backward()
+        loss_tG = hinge_loss(pf, True, for_discriminator=False) \
+            + self.lambda_l1 * F.l1_loss(tfake, B)
+        loss_tG.backward()
         self.opt_tG.step()
         self._set_grad(self.tD.parameters(), True)
         targets = [t.detach() for t in t_g_feats + t_d_feats]
@@ -333,15 +338,94 @@ class CooperativeBench:
         pf = self.sD(torch.cat([A_val, vfake], 1))
         s_disc = discrepancy(pf)
         pr = self.sD(torch.cat([A_val, B_val], 1))
-        ((s_disc - self.ema).abs()
-         + (hinge_loss(pr, True) + hinge_loss(pf, False)) * 0.5).backward()
+        loss_arch = (s_disc - self.ema).abs() \
+            + (hinge_loss(pr, True) + hinge_loss(pf, False)) * 0.5
+        loss_arch.backward()
         self.opt_arch.step()
         self._set_grad([p for n_, p in self.sD.named_parameters()
                         if "alpha" not in n_], True)
 
         return {"D": float(lossD.detach()), "G": float(lossG.detach()),
                 "content": float(content.detach()),
-                "gram": float(gram_l.detach())}
+                "gram": float(gram_l.detach()),
+                "tD": float(loss_tD.detach()), "tG": float(loss_tG.detach()),
+                "arch": float(loss_arch.detach()),
+                "s_disc": float(s_disc.detach()),
+                "ema": float(self.ema)}
+
+
+# ---------------------------------------------------------------------------
+# Parity-oracle weight loading: GCC-TPU GANState -> these torch modules.
+#
+# Inverse layout transposes (gcc_tpu/utils/torch_port.py docstring):
+#   HWIO conv kernel                 -> torch Conv2d (O,I,H,W):       (3,2,0,1)
+#   HWIO forward-kernel of deconv    -> torch ConvTranspose2d (I,O,H,W): (2,3,0,1)
+# ---------------------------------------------------------------------------
+
+def _t(a):
+    return torch.tensor(np.asarray(a, np.float32))
+
+
+def _load_bn(bn, p, s):
+    with torch.no_grad():
+        bn.weight.copy_(_t(p["scale"]))
+        bn.bias.copy_(_t(p["bias"]))
+        bn.running_mean.copy_(_t(s["mean"]))
+        bn.running_var.copy_(_t(s["var"]))
+
+
+def load_unet_from_jax(unet: "Unet", variables: dict) -> None:
+    """Copy a gcc_tpu UnetGenerator variable dict into the loop-form Unet."""
+    p, s = variables["params"], variables.get("batch_stats", {})
+    with torch.no_grad():
+        for d in unet.depths:
+            unet.downs[str(d)].weight.copy_(
+                _t(p[f"down_{d}"]["kernel"]).permute(3, 2, 0, 1))
+            if str(d) in unet.down_norms:
+                _load_bn(unet.down_norms[str(d)], p[f"down_norm_{d}"],
+                         s[f"down_norm_{d}"])
+            if d == 0:
+                unet.ups["0"].weight.copy_(
+                    _t(p["up_0"]["kernel"]).permute(2, 3, 0, 1))
+                unet.ups["0"].bias.copy_(_t(p["up_0"]["bias"]))
+            else:
+                unet.ups[str(d)].weight.copy_(
+                    _t(p[f"up_{d}"]["kernel"]).permute(2, 3, 0, 1))
+                _load_bn(unet.up_norms[str(d)], p[f"up_norm_{d}"],
+                         s[f"up_norm_{d}"])
+
+
+def load_patchgan_from_jax(pg: "PatchGAN", variables: dict) -> None:
+    p, s = variables["params"], variables.get("batch_stats", {})
+    arch = variables.get("arch")
+    with torch.no_grad():
+        pg.conv0.weight.copy_(_t(p["conv_0"]["kernel"]).permute(3, 2, 0, 1))
+        pg.conv0.bias.copy_(_t(p["conv_0"]["bias"]))
+        for i in range(pg.n_layers):
+            pg.convs[i].weight.copy_(
+                _t(p[f"conv_{i + 1}"]["kernel"]).permute(3, 2, 0, 1))
+            _load_bn(pg.norms[i], p[f"norm_{i + 1}"], s[f"norm_{i + 1}"])
+        pg.conv_out.weight.copy_(
+            _t(p["conv_out"]["kernel"]).permute(3, 2, 0, 1))
+        pg.conv_out.bias.copy_(_t(p["conv_out"]["bias"]))
+        if pg.masked and arch is not None:
+            pg.mask0.alpha.copy_(_t(arch["mask_0"]["alpha"]))
+            for i in range(pg.n_layers):
+                pg.masks[i].alpha.copy_(_t(arch[f"mask_{i + 1}"]["alpha"]))
+
+
+def load_bench_from_jax_state(bench: "CooperativeBench", nets: dict) -> None:
+    """Load all five nets of a Pix2PixEngine GANState.nets snapshot (numpy
+    pytrees) into the bench: student G/D, teacher G/D, 1x1 transforms."""
+    load_unet_from_jax(bench.sG, nets["g"])
+    load_patchgan_from_jax(bench.sD, nets["d"])
+    load_unet_from_jax(bench.tG, nets["tg"])
+    load_patchgan_from_jax(bench.tD, nets["td"])
+    with torch.no_grad():
+        for i, tr in enumerate(bench.transforms):
+            tr.weight.copy_(
+                _t(nets["tf"]["params"][f"tf_{i}"]["kernel"]
+                   ).permute(3, 2, 0, 1))
 
 
 def derive_student_cfgs(size=256, ngf=32, num_downs=8):

@@ -45,15 +45,20 @@ class SAGANEngine(CombinedStepMixin):
         self.darts = cfg.darts_discriminator
         self.gan_mode = cfg.gan_mode
 
+        thr = cfg.pallas_attn_threshold
         self.G = SAGANGenerator(ngf=cfg.ngf, image_size=cfg.crop_size,
-                                z_dim=cfg.z_dim, filter_cfgs=filter_cfgs)
+                                z_dim=cfg.z_dim, filter_cfgs=filter_cfgs,
+                                pallas_attn_threshold=thr)
         self.D = SAGANDiscriminator(ndf=cfg.ndf, image_size=cfg.crop_size,
-                                    masked=self.darts, threshold=cfg.threshold)
+                                    masked=self.darts, threshold=cfg.threshold,
+                                    pallas_attn_threshold=thr)
         if self.distill:
             self.TG = SAGANGenerator(ngf=cfg.teacher_ngf,
-                                     image_size=cfg.crop_size, z_dim=cfg.z_dim)
+                                     image_size=cfg.crop_size, z_dim=cfg.z_dim,
+                                     pallas_attn_threshold=thr)
             self.TD = SAGANDiscriminator(ndf=cfg.teacher_ndf,
-                                         image_size=cfg.crop_size)
+                                         image_size=cfg.crop_size,
+                                         pallas_attn_threshold=thr)
             self.TF = TransformConvs((cfg.teacher_ngf * 4, cfg.teacher_ngf))
 
         self.tx_g = make_adam(0.0, 0.9)

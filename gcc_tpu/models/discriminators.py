@@ -88,6 +88,7 @@ class SAGANDiscriminator(nn.Module):
     image_size: int = 64
     masked: bool = False
     threshold: float = 0.5
+    pallas_attn_threshold: int = 1024
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -101,8 +102,11 @@ class SAGANDiscriminator(nn.Module):
             if i == 1:
                 self.sow("intermediates", "d_feat_0", h)
             if i == 2:
-                h = SelfAttention(name="attn1")(h)
-        h = SelfAttention(name="attn2")(h)
+                h = SelfAttention(
+                    use_pallas_threshold=self.pallas_attn_threshold,
+                    name="attn1")(h)
+        h = SelfAttention(use_pallas_threshold=self.pallas_attn_threshold,
+                          name="attn2")(h)
         self.sow("intermediates", "d_feat_1", h)
         h = Conv(1, (4, 4), (1, 1), 0, name="last")(h)
         return h.reshape(h.shape[0])

@@ -232,6 +232,7 @@ class SAGANGenerator(nn.Module):
     image_size: int = 64
     z_dim: int = 128
     filter_cfgs: Optional[Sequence[int]] = None
+    pallas_attn_threshold: int = 1024
 
     @nn.compact
     def __call__(self, z: jax.Array, train: bool = True) -> jax.Array:
@@ -246,10 +247,12 @@ class SAGANGenerator(nn.Module):
         self.sow("intermediates", "g_feat_0", h)
         h = SpectralConvTranspose(f[2], (4, 4), (2, 2), padding=1, name="l3")(h)
         h = jax.nn.relu(BatchNorm(use_running_average=not train, name="bn3")(h))
-        h = SelfAttention(name="attn1")(h)
+        h = SelfAttention(use_pallas_threshold=self.pallas_attn_threshold,
+                          name="attn1")(h)
         h = SpectralConvTranspose(f[3], (4, 4), (2, 2), padding=1, name="l4")(h)
         h = jax.nn.relu(BatchNorm(use_running_average=not train, name="bn4")(h))
-        h = SelfAttention(name="attn2")(h)
+        h = SelfAttention(use_pallas_threshold=self.pallas_attn_threshold,
+                          name="attn2")(h)
         self.sow("intermediates", "g_feat_1", h)
         h = ConvTranspose(3, (4, 4), (2, 2), padding=1, name="last")(h)
         return jnp.tanh(h)

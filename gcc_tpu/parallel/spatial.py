@@ -119,8 +119,15 @@ def spatial_apply(module, variables, x, mesh: Optional[Mesh] = None,
     An explicitly passed mesh is validated instead of silently reduced.
     """
     if mesh is None:
-        n_spatial = auto_shards(x.shape[1],
-                                n_spatial or len(jax.devices()))
+        n_dev = len(jax.devices())
+        want = n_spatial or n_dev
+        if want > n_dev:
+            import logging
+            logging.getLogger("gcc-tpu").warning(
+                "spatial_apply: %d shards requested but only %d devices; "
+                "degrading to %d", want, n_dev, n_dev)
+            want = n_dev
+        n_spatial = auto_shards(x.shape[1], want)
         mesh = make_mesh_2d(1, n_spatial)
     else:
         nd, ns = mesh.shape["data"], mesh.shape["spatial"]

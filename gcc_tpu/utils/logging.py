@@ -11,25 +11,27 @@ import time
 def get_logger(file_path: str, name: str = "gcc-tpu") -> logging.Logger:
     logger = logging.getLogger(name)
     path = os.path.abspath(file_path)
-    if logger.handlers:
-        # same run dir: reuse; different run dir (second experiment in one
-        # process, or test processes driving several CLIs): re-point the
-        # file handler so logs land with their own run
-        if any(isinstance(h, logging.FileHandler)
-               and getattr(h, "baseFilename", None) == path
-               for h in logger.handlers):
-            return logger
-        for h in list(logger.handlers):
+    # same run dir: reuse; different run dir (second experiment in one
+    # process, or test processes driving several CLIs): re-point ONLY the
+    # file handlers so logs land with their own run. Non-file handlers
+    # (our stream handler, anything externally attached) stay untouched.
+    if any(isinstance(h, logging.FileHandler)
+           and getattr(h, "baseFilename", None) == path
+           for h in logger.handlers):
+        return logger
+    for h in list(logger.handlers):
+        if isinstance(h, logging.FileHandler):
             logger.removeHandler(h)
             h.close()
     fmt = logging.Formatter("%(asctime)s | %(message)s", datefmt="%m/%d %I:%M:%S %p")
     os.makedirs(os.path.dirname(file_path) or ".", exist_ok=True)
     fh = logging.FileHandler(file_path)
     fh.setFormatter(fmt)
-    sh = logging.StreamHandler()
-    sh.setFormatter(fmt)
     logger.addHandler(fh)
-    logger.addHandler(sh)
+    if not any(type(h) is logging.StreamHandler for h in logger.handlers):
+        sh = logging.StreamHandler()
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
     logger.setLevel(logging.INFO)
     return logger
 

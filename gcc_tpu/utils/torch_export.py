@@ -184,6 +184,33 @@ def export_sagan_discriminator(params: dict, spectral: dict,
 
 
 # ---------------------------------------------------------------------------
+# SRGAN discriminator (VGG-style, models/SRGAN.py:199-295)
+# ---------------------------------------------------------------------------
+
+def export_srgan_discriminator(params: dict, stats: dict,
+                               arch: Optional[dict] = None,
+                               n_blocks: int = 4) -> dict:
+    """Inverse of port_srgan_discriminator: conv_blocks.{i}.conv_block =
+    [Conv2d] + ([BN] if i != 0) + ([DifferentiableOP] if masked) + LeakyReLU;
+    fc head transposed back to torch Linear (out, in)."""
+    sd: Dict[str, np.ndarray] = {}
+    for i in range(n_blocks):
+        p = f"conv_blocks.{i}.conv_block"
+        sd[f"{p}.0.weight"] = _inv_conv(params[f"conv_{i}"]["kernel"])
+        sd[f"{p}.0.bias"] = np.asarray(params[f"conv_{i}"]["bias"])
+        if i != 0 and f"norm_{i}" in params:
+            _inv_bn(sd, f"{p}.1", params[f"norm_{i}"], stats[f"norm_{i}"])
+        if arch and f"mask_{i}" in arch:
+            oi = 1 if i == 0 else 2
+            sd[f"{p}.{oi}.alpha"] = np.asarray(
+                arch[f"mask_{i}"]["alpha"]).reshape(-1)
+    sd["fc1.weight"] = np.ascontiguousarray(
+        np.transpose(np.asarray(params["fc"]["kernel"])))
+    sd["fc1.bias"] = np.asarray(params["fc"]["bias"])
+    return sd
+
+
+# ---------------------------------------------------------------------------
 # SRResNet generator (models/SRGAN.py:139-197)
 # ---------------------------------------------------------------------------
 
@@ -279,6 +306,13 @@ def export_checkpoint(model: str, ckpt: dict, out_path: str,
         g = net("G")
         out["G"] = _tensors(export_srresnet(
             g["params"], g.get("batch_stats", {})))
+        if ckpt.get("D") is not None:
+            # reference SRGAN.load_models defaults to load_discriminator=True
+            # and indexes ckpt['D'] (SRGAN.py:593-607) — the exported ckpt
+            # must carry it for the default load/fine-tune path
+            d = net("D")
+            out["D"] = _tensors(export_srgan_discriminator(
+                d["params"], d.get("batch_stats", {}), d.get("arch")))
         out["psnr"] = ckpt.get("psnr", ckpt.get("fid"))
     else:
         raise NotImplementedError(model)

@@ -244,6 +244,40 @@ def port_sagan_discriminator(sd: dict, masked: bool = False
 
 
 # ---------------------------------------------------------------------------
+# SRGAN discriminator (VGG-style, models/SRGAN.py:199-295)
+# ---------------------------------------------------------------------------
+
+def port_srgan_discriminator(sd: dict, n_blocks: int = 4, masked: bool = False
+                             ) -> Tuple[dict, dict, Optional[dict]]:
+    """torch SRGAN Discriminator / MaskDiscriminator state_dict ->
+    (params, batch_stats, arch or None).
+
+    Layout (SRGAN.py:15-69, 199-295): conv_blocks.{i}.conv_block is
+    [Conv2d] + ([BatchNorm2d] if i != 0) + ([DifferentiableOP] if masked)
+    + LeakyReLU; head is fc1 (torch Linear weight (out, in) -> Dense
+    kernel (in, out))."""
+    sd = _to_numpy_sd(sd)
+    params: Dict = {}
+    stats: Dict = {}
+    arch: Dict = {}
+    for i in range(n_blocks):
+        p = f"conv_blocks.{i}.conv_block"
+        params[f"conv_{i}"] = {"kernel": _conv(sd, f"{p}.0.weight"),
+                               "bias": np.asarray(sd[f"{p}.0.bias"])}
+        if i != 0:
+            pn, sn = _bn(sd, f"{p}.1")
+            params[f"norm_{i}"], stats[f"norm_{i}"] = pn, sn
+        if masked:
+            oi = 1 if i == 0 else 2
+            if f"{p}.{oi}.alpha" in sd:
+                arch[f"mask_{i}"] = {"alpha": np.asarray(
+                    sd[f"{p}.{oi}.alpha"]).reshape(-1)}
+    params["fc"] = {"kernel": np.transpose(np.asarray(sd["fc1.weight"])),
+                    "bias": np.asarray(sd["fc1.bias"])}
+    return params, stats, (arch if arch else None)
+
+
+# ---------------------------------------------------------------------------
 # SRResNet generator
 # ---------------------------------------------------------------------------
 

@@ -17,8 +17,10 @@ import jax.numpy as jnp  # noqa: E402
 
 from gcc_tpu.utils import torch_export as te  # noqa: E402
 from test_torch_parity import (  # noqa: E402
-    build_torch_mobile_resnet, build_torch_patchgan, build_torch_sagan_g,
-    build_torch_srresnet, build_torch_unet, nchw, to_nhwc, assert_close)
+    build_torch_masked_patchgan, build_torch_mobile_resnet,
+    build_torch_patchgan, build_torch_sagan_d, build_torch_sagan_g,
+    build_torch_srgan_d, build_torch_srresnet, build_torch_unet,
+    nchw, to_nhwc, assert_close)
 
 K = jax.random.PRNGKey(7)
 R = np.random.RandomState(7)
@@ -70,6 +72,99 @@ def test_export_patchgan():
     with torch.no_grad():
         ty = to_nhwc(net(nchw(x)))
     assert_close(y, ty, tol=3e-4)
+
+
+def _randomize_alphas(arch):
+    """Alphas straddling the 0.5 threshold so masks really gate channels."""
+    return jax.tree_util.tree_map(
+        lambda a: R.rand(*np.shape(a)).astype(np.float32), arch)
+
+
+def test_export_masked_patchgan():
+    """Pins the DARTS index layout ([0,3,7,11]/[2,5,9,13]/out 15) of
+    export_patchgan(masked=True) by strict-load + output parity."""
+    from gcc_tpu.models.discriminators import PatchGAN
+    d = PatchGAN(ndf=8, norm="batch", masked=True)
+    x = R.rand(2, 32, 32, 6).astype(np.float32) * 2 - 1
+    v = d.init({"params": K}, jnp.asarray(x), train=False)
+    stats = _randomize_stats(v["batch_stats"])
+    arch = _randomize_alphas(v["arch"])
+    y = d.apply({"params": v["params"], "batch_stats": stats, "arch": arch},
+                jnp.asarray(x), train=False)
+
+    net = build_torch_masked_patchgan(8)
+    sd = te.export_patchgan(v["params"], stats, arch, masked=True)
+    net.load_state_dict({k[len("model."):]: torch.tensor(val)
+                         for k, val in sd.items()}, strict=True)
+    net.eval()
+    with torch.no_grad():
+        ty = to_nhwc(net(nchw(x)))
+    assert_close(y, ty, tol=3e-4)
+
+
+def test_export_sagan_discriminator():
+    from gcc_tpu.models.discriminators import SAGANDiscriminator
+    torch.manual_seed(5)
+    d = SAGANDiscriminator(ndf=8, masked=True)
+    x = R.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1
+    v = d.init({"params": K}, jnp.asarray(x), train=False)
+    arch = _randomize_alphas(v["arch"])
+    y = d.apply({"params": v["params"], "spectral": v["spectral"],
+                 "arch": arch}, jnp.asarray(x), train=False)
+
+    net = build_torch_sagan_d(8, masked=True)
+    sd = te.export_sagan_discriminator(v["params"], v["spectral"], arch)
+    net.load_state_dict({k: torch.tensor(np.asarray(val))
+                         for k, val in sd.items()}, strict=True)
+    net.eval()
+    with torch.no_grad():
+        ty = net(nchw(x)).numpy()
+    assert_close(y, ty, tol=5e-4)
+
+
+def test_export_srgan_discriminator():
+    """The reference's default SRGAN load path does ckpt['D'] — the export
+    must strict-load into the reference VGG-style topology."""
+    from gcc_tpu.models.discriminators import SRGANDiscriminator
+    d = SRGANDiscriminator(ndf=8, masked=True)
+    x = R.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1
+    v = d.init({"params": K}, jnp.asarray(x), train=False)
+    stats = _randomize_stats(v["batch_stats"])
+    arch = _randomize_alphas(v["arch"])
+    y = d.apply({"params": v["params"], "batch_stats": stats, "arch": arch},
+                jnp.asarray(x), train=False)
+
+    net = build_torch_srgan_d(8, masked=True)
+    sd = te.export_srgan_discriminator(v["params"], stats, arch)
+    net.load_state_dict({k: torch.tensor(val) for k, val in sd.items()},
+                        strict=True)
+    net.eval()
+    with torch.no_grad():
+        ty = net(nchw(x)).numpy()
+    assert_close(np.asarray(y), ty, tol=3e-4)
+
+
+def test_export_checkpoint_srgan_emits_discriminator(tmp_path):
+    """export_checkpoint('srgan') carries 'D' when the ckpt has one, so the
+    reference's load_discriminator=True default path works."""
+    from gcc_tpu.models.discriminators import SRGANDiscriminator
+    from gcc_tpu.models.generators import SRResNet
+    g = SRResNet(n_channels=8, n_blocks=2)
+    d = SRGANDiscriminator(ndf=8)
+    xg = jnp.asarray(R.rand(1, 12, 12, 3).astype(np.float32))
+    xd = jnp.asarray(R.rand(1, 48, 48, 3).astype(np.float32))
+    vg = g.init({"params": K}, xg, train=False)
+    vd = d.init({"params": K}, xd, train=False)
+    ckpt = {"G": {"params": vg["params"],
+                  "batch_stats": vg["batch_stats"]},
+            "D": {"params": vd["params"],
+                  "batch_stats": vd["batch_stats"]},
+            "epoch": 3, "cfg": (None, None), "psnr": 30.0}
+    out = te.export_checkpoint("srgan", ckpt, str(tmp_path / "srgan.pth"),
+                               n_blocks=2)
+    assert "D" in out and any(k.startswith("conv_blocks.") for k in out["D"])
+    net = build_torch_srgan_d(8)
+    net.load_state_dict(out["D"], strict=True)
 
 
 def test_export_mobile_resnet():

@@ -37,6 +37,73 @@ def assert_close(ours, theirs, tol=2e-4):
     np.testing.assert_allclose(np.asarray(ours), theirs, atol=tol, rtol=tol)
 
 
+class TorchMaskOp(nn.Module):
+    """Reference DifferentiableOP from spec (models/DifferentiableOp.py:34-59):
+    mask = (sign(alpha - threshold) + 1)/2, multiplied over NCHW channels."""
+
+    def __init__(self, ch, threshold=0.5):
+        super().__init__()
+        self.alpha = nn.Parameter(torch.full((ch,), 0.75))
+        self.threshold = threshold
+
+    def forward(self, x):
+        m = (torch.sign(self.alpha - self.threshold) + 1.0) / 2.0
+        return x * m.view(1, -1, 1, 1)
+
+
+def _l2n(v, eps=1e-12):
+    return v / (v.norm() + eps)
+
+
+class TorchSpecNorm(nn.Module):
+    """Reference custom SpectralNorm wrapper from spec (SAGAN.py:17-71):
+    power-iteration on weight_bar with persisted u/v vectors."""
+
+    def __init__(self, module):
+        super().__init__()
+        self.module = module
+        w = self.module.weight
+        height = w.data.shape[0]
+        width = w.view(height, -1).data.shape[1]
+        u = _l2n(w.data.new(height).normal_(0, 1))
+        v = _l2n(w.data.new(width).normal_(0, 1))
+        self.module.register_parameter("weight_bar", nn.Parameter(w.data))
+        self.module.register_parameter("weight_u", nn.Parameter(u.data))
+        self.module.register_parameter("weight_v", nn.Parameter(v.data))
+        del self.module._parameters["weight"]
+
+    def forward(self, *args):
+        u, v = self.module.weight_u, self.module.weight_v
+        w = self.module.weight_bar
+        height = w.data.shape[0]
+        for _ in range(1):
+            v.data = _l2n(torch.mv(torch.t(w.view(height, -1).data), u.data))
+            u.data = _l2n(torch.mv(w.view(height, -1).data, v.data))
+        sigma = u.dot(w.view(height, -1).mv(v))
+        self.module.weight = w / sigma.expand_as(w)
+        return self.module.forward(*args)
+
+
+class TorchSelfAttn(nn.Module):
+    """Reference Self_Attn from spec (SAGAN.py:73-107)."""
+
+    def __init__(self, c):
+        super().__init__()
+        self.query_conv = nn.Conv2d(c, c // 8, 1)
+        self.key_conv = nn.Conv2d(c, c // 8, 1)
+        self.value_conv = nn.Conv2d(c, c, 1)
+        self.gamma = nn.Parameter(torch.zeros(1))
+
+    def forward(self, x):
+        b, c, w, h = x.size()
+        q = self.query_conv(x).view(b, -1, w * h).permute(0, 2, 1)
+        k = self.key_conv(x).view(b, -1, w * h)
+        attn = torch.softmax(torch.bmm(q, k), dim=-1)
+        v = self.value_conv(x).view(b, -1, w * h)
+        out = torch.bmm(v, attn.permute(0, 2, 1)).view(b, c, w, h)
+        return self.gamma * out + x
+
+
 class TestLayerParity:
     def test_conv(self):
         x = R.rand(2, 10, 10, 5).astype(np.float32)
@@ -212,6 +279,99 @@ def build_torch_patchgan(ndf, in_ch=6):
         nn.Conv2d(ndf * 8, 1, 4, 1, 1))
 
 
+def build_torch_masked_patchgan(ndf, in_ch=6):
+    """MaskNLayerDiscriminator layout from spec (Pix2Pix.py:307-348):
+    Sequential indices 0 conv,1 lrelu,2 op | 3 conv,4 bn,5 op,6 lrelu |
+    7,8,9,10 | 11 conv,12 bn,13 op,14 lrelu | 15 conv."""
+    return nn.Sequential(
+        nn.Conv2d(in_ch, ndf, 4, 2, 1), nn.LeakyReLU(0.2), TorchMaskOp(ndf),
+        nn.Conv2d(ndf, ndf * 2, 4, 2, 1, bias=False), nn.BatchNorm2d(ndf * 2),
+        TorchMaskOp(ndf * 2), nn.LeakyReLU(0.2),
+        nn.Conv2d(ndf * 2, ndf * 4, 4, 2, 1, bias=False),
+        nn.BatchNorm2d(ndf * 4), TorchMaskOp(ndf * 4), nn.LeakyReLU(0.2),
+        nn.Conv2d(ndf * 4, ndf * 8, 4, 1, 1, bias=False),
+        nn.BatchNorm2d(ndf * 8), TorchMaskOp(ndf * 8), nn.LeakyReLU(0.2),
+        nn.Conv2d(ndf * 8, 1, 4, 1, 1))
+
+
+def build_torch_sagan_d(ndf, masked=False):
+    """Reference SAGAN Discriminator / MaskDiscriminator from spec
+    (SAGAN.py:173-277): 4 spectral-norm conv stages (optional
+    DifferentiableOP before the LeakyReLU(0.1)), attn after l3 and l4,
+    4x4 valid conv head, squeeze."""
+
+    class D(nn.Module):
+        def __init__(self):
+            super().__init__()
+            dims = [ndf, ndf * 2, ndf * 4, ndf * 8]
+            cin = 3
+            for i, dim in enumerate(dims):
+                layers = [TorchSpecNorm(nn.Conv2d(cin, dim, 4, 2, 1))]
+                if masked:
+                    layers.append(TorchMaskOp(dim))
+                layers.append(nn.LeakyReLU(0.1))
+                setattr(self, f"l{i + 1}", nn.Sequential(*layers))
+                cin = dim
+            self.last = nn.Sequential(nn.Conv2d(cin, 1, 4))
+            self.attn1 = TorchSelfAttn(ndf * 4)
+            self.attn2 = TorchSelfAttn(ndf * 8)
+
+        def forward(self, x):
+            out = self.l1(x)
+            out = self.l2(out)
+            out = self.l3(out)
+            out = self.attn1(out)
+            out = self.l4(out)
+            out = self.attn2(out)
+            return self.last(out).squeeze()
+
+    return D()
+
+
+def build_torch_srgan_d(n_channels=64, n_blocks=4, kernel_size=3,
+                        masked=False):
+    """Reference SRGAN Discriminator / MaskDiscriminator from spec
+    (SRGAN.py:15-69, 199-295): conv_blocks.{i}.conv_block =
+    [Conv2d] + ([BN] if i != 0) + ([DifferentiableOP] if masked) +
+    LeakyReLU(0.2); adaptive avg pool to 1x1; fc1 linear head."""
+
+    class ConvBlock(nn.Module):
+        def __init__(self, layers):
+            super().__init__()
+            self.conv_block = nn.Sequential(*layers)
+
+        def forward(self, x):
+            return self.conv_block(x)
+
+    class D(nn.Module):
+        def __init__(self):
+            super().__init__()
+            blocks = []
+            cin = 3
+            for i in range(n_blocks):
+                cout = (n_channels if i == 0 else cin * 2) if i % 2 == 0 \
+                    else cin
+                layers = [nn.Conv2d(cin, cout, kernel_size,
+                                    1 if i % 2 == 0 else 2, kernel_size // 2)]
+                if i != 0:
+                    layers.append(nn.BatchNorm2d(cout))
+                if masked:
+                    layers.append(TorchMaskOp(cout))
+                layers.append(nn.LeakyReLU(0.2))
+                blocks.append(ConvBlock(layers))
+                cin = cout
+            self.conv_blocks = nn.Sequential(*blocks)
+            self.adaptive_pool = nn.AdaptiveAvgPool2d((1, 1))
+            self.fc1 = nn.Linear(cin, 1)
+
+        def forward(self, x):
+            h = self.conv_blocks(x)
+            h = self.adaptive_pool(h)
+            return self.fc1(h.view(h.size(0), -1))
+
+    return D()
+
+
 def test_patchgan_parity():
     from gcc_tpu.models.discriminators import PatchGAN
     net = build_torch_patchgan(8)
@@ -300,52 +460,7 @@ def build_torch_sagan_g(ngf, z_dim):
     """Reference SAGAN Generator topology (SAGAN.py:17-171) from spec,
     including the custom SpectralNorm wrapper (power-iteration on
     weight_bar, SAGAN.py:26-56)."""
-    def l2n(v, eps=1e-12):
-        return v / (v.norm() + eps)
-
-    class SpecNorm(nn.Module):
-        def __init__(self, module):
-            super().__init__()
-            self.module = module
-            w = self.module.weight
-            height = w.data.shape[0]
-            width = w.view(height, -1).data.shape[1]
-            u = l2n(w.data.new(height).normal_(0, 1))
-            v = l2n(w.data.new(width).normal_(0, 1))
-            self.module.register_parameter(
-                "weight_bar", nn.Parameter(w.data))
-            self.module.register_parameter("weight_u", nn.Parameter(u.data))
-            self.module.register_parameter("weight_v", nn.Parameter(v.data))
-            del self.module._parameters["weight"]
-
-        def forward(self, *args):
-            u, v = self.module.weight_u, self.module.weight_v
-            w = self.module.weight_bar
-            height = w.data.shape[0]
-            for _ in range(1):
-                v.data = l2n(torch.mv(torch.t(w.view(height, -1).data),
-                                      u.data))
-                u.data = l2n(torch.mv(w.view(height, -1).data, v.data))
-            sigma = u.dot(w.view(height, -1).mv(v))
-            self.module.weight = w / sigma.expand_as(w)
-            return self.module.forward(*args)
-
-    class Attn(nn.Module):
-        def __init__(self, c):
-            super().__init__()
-            self.query_conv = nn.Conv2d(c, c // 8, 1)
-            self.key_conv = nn.Conv2d(c, c // 8, 1)
-            self.value_conv = nn.Conv2d(c, c, 1)
-            self.gamma = nn.Parameter(torch.zeros(1))
-
-        def forward(self, x):
-            b, c, w, h = x.size()
-            q = self.query_conv(x).view(b, -1, w * h).permute(0, 2, 1)
-            k = self.key_conv(x).view(b, -1, w * h)
-            attn = torch.softmax(torch.bmm(q, k), dim=-1)
-            v = self.value_conv(x).view(b, -1, w * h)
-            out = torch.bmm(v, attn.permute(0, 2, 1)).view(b, c, w, h)
-            return self.gamma * out + x
+    SpecNorm, Attn = TorchSpecNorm, TorchSelfAttn
 
     class G(nn.Module):
         def __init__(self):
@@ -479,6 +594,33 @@ def test_srresnet_parity():
     y = ours.apply({"params": params, "batch_stats": stats},
                    jnp.asarray(x), train=False)
     assert y.shape == ty.shape == (1, 48, 48, 3)
+    assert_close(y, ty, tol=3e-4)
+
+
+def test_srgan_discriminator_parity():
+    """Forward port of the reference VGG-style SRGAN discriminator
+    (SRGAN.py:199-295), masked variant: torch weights + alphas -> jax."""
+    from gcc_tpu.models.discriminators import SRGANDiscriminator
+    torch.manual_seed(2)
+    net = build_torch_srgan_d(8, masked=True)
+    net.eval()
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.copy_(1 + torch.rand_like(m.running_var))
+            if isinstance(m, TorchMaskOp):
+                m.alpha.copy_(torch.rand_like(m.alpha))  # straddle threshold
+    x = R.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        ty = net(nchw(x)).numpy()
+    params, stats, arch = tp.port_srgan_discriminator(net.state_dict(),
+                                                      masked=True)
+    assert arch is not None and sorted(arch) == [f"mask_{i}" for i in range(4)]
+    ours = SRGANDiscriminator(ndf=8, masked=True)
+    y = ours.apply({"params": params, "batch_stats": stats, "arch": arch},
+                   jnp.asarray(x), train=False)
+    assert np.asarray(y).shape == ty.shape == (2, 1)
     assert_close(y, ty, tol=3e-4)
 
 
