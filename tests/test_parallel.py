@@ -130,6 +130,65 @@ def test_sharded_equals_unsharded_cyclegan():
                    atol=1e-3, rtol=0)
 
 
+def test_sharded_equals_unsharded_sagan():
+    """Spectral-norm family: the power-iteration u/v vectors are mutable
+    state threaded through the sharded step — the one place replicated
+    mutable state could silently diverge across layouts. u/v depend only on
+    the (replicated) kernels, so they must match tightly; losses and params
+    must match like the other families."""
+    from gcc_tpu.engines.sagan import SAGANEngine
+    cfg = Config(model="sagan", ngf=4, ndf=4, teacher_ngf=8, teacher_ndf=8,
+                 crop_size=64, z_dim=16, gan_mode="hinge",
+                 online_distillation=True, darts_discriminator=True,
+                 lambda_content=1.0, lambda_gram=1.0)
+    rng = np.random.RandomState(5)
+    batches = [
+        {"z": jnp.asarray(rng.randn(8, 16), jnp.float32),
+         "real_img": jnp.asarray(rng.rand(8, 64, 64, 3) * 2 - 1, jnp.float32)}
+        for _ in range(2)]
+    s1, m1 = _run_steps(SAGANEngine, cfg, batches, 1)
+    s8, m8 = _run_steps(SAGANEngine, cfg, batches, 8)
+    for step1, step8 in zip(m1, m8):
+        assert set(step1) == set(step8)
+        for k in step1:
+            np.testing.assert_allclose(step1[k], step8[k], rtol=2e-4,
+                                       atol=1e-5, err_msg=k)
+    _tree_allclose(s1.nets["g"]["params"], s8.nets["g"]["params"],
+                   atol=1e-3, rtol=0)
+    # power-iteration state: data-independent given replicated kernels
+    _tree_allclose(s1.nets["g"]["spectral"], s8.nets["g"]["spectral"],
+                   atol=1e-5, rtol=1e-4)
+    _tree_allclose(s1.nets["d"]["spectral"], s8.nets["d"]["spectral"],
+                   atol=1e-5, rtol=1e-4)
+
+
+def test_sharded_equals_unsharded_srgan():
+    """SRResNet family (global-BN through 16 residual blocks + masked
+    VGG-style D): completes the 4/4 DP equivalence matrix."""
+    from gcc_tpu.engines.srgan import SRGANEngine
+    cfg = Config(model="srgan", ngf=4, ndf=4, teacher_ngf=8, teacher_ndf=8,
+                 image_size=32, upscale_factor=4, gan_mode="vanilla",
+                 online_distillation=True, darts_discriminator=True,
+                 lambda_content=0.1, lambda_gram=0.1)
+    rng = np.random.RandomState(6)
+    batches = [
+        {"lr": jnp.asarray(rng.rand(8, 8, 8, 3) * 2 - 1, jnp.float32),
+         "hr": jnp.asarray(rng.rand(8, 32, 32, 3) * 2 - 1, jnp.float32)}
+        for _ in range(2)]
+    s1, m1 = _run_steps(SRGANEngine, cfg, batches, 1)
+    s8, m8 = _run_steps(SRGANEngine, cfg, batches, 8)
+    for step1, step8 in zip(m1, m8):
+        assert set(step1) == set(step8)
+        for k in step1:
+            np.testing.assert_allclose(step1[k], step8[k], rtol=2e-4,
+                                       atol=1e-5, err_msg=k)
+    _tree_allclose(s1.nets["g"]["params"], s8.nets["g"]["params"],
+                   atol=1e-3, rtol=0)
+    _tree_allclose(s1.nets["g"].get("batch_stats", {}),
+                   s8.nets["g"].get("batch_stats", {}),
+                   atol=2e-5, rtol=2e-3)
+
+
 # ---------------------------------------------------------------------------
 # Spatial partitioning (gcc_tpu/parallel/spatial.py): sharding the image H
 # axis must be semantics-preserving — XLA SPMD inserts the conv halo
