@@ -144,6 +144,7 @@ class Config:
     mesh_shape: Optional[Tuple[int, ...]] = None  # None => all devices on data axis
     spatial_shards: int = 1  # >1: shard image H over devices at eval (parallel/spatial.py)
     pallas_attn_threshold: int = 1024  # min H*W for the fused flash-attention kernel on TPU
+    fused_resblock: str = "auto"  # auto|on|off: Pallas fused MobileResnet blocks
     prefetch: int = 2  # host->device pipeline depth
     vgg_path: Optional[str] = None  # torch VGG19 state_dict for SRGAN perceptual loss
     inception_path: Optional[str] = None  # FID InceptionV3 weights

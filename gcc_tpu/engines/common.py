@@ -206,8 +206,20 @@ class CombinedStepMixin:
         CycleGANEngine overrides to pick a direction."""
         from gcc_tpu.parallel.spatial import spatial_apply
         mod, net = (self.TG, "tg") if teacher else (self.G, "g")
+        mod = self._spatial_safe(mod, net)
         return spatial_apply(mod, state.nets[net], x, mesh=mesh,
                              n_spatial=n_spatial)
+
+    def _spatial_safe(self, mod, net):
+        """Pallas kernels can't be SPMD-partitioned over the sharded H
+        axis — force the XLA block path under spatial partitioning. Cached
+        clone so spatial_apply's id-keyed jit cache stays warm."""
+        if getattr(mod, "use_fused_blocks", False) is False:
+            return mod
+        cache_attr = f"_spatial_mod_{net}"
+        if not hasattr(self, cache_attr):
+            setattr(self, cache_attr, mod.clone(use_fused_blocks=False))
+        return getattr(self, cache_attr)
 
 
 # ---------------------------------------------------------------------------

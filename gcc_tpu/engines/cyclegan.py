@@ -55,15 +55,20 @@ class CycleGANEngine(CombinedStepMixin):
         self.darts = cfg.darts_discriminator
         self.gan_mode = cfg.gan_mode
 
-        self.G_A = MobileResnetGenerator(ngf=cfg.ngf, cfg=cfg_AtoB)
-        self.G_B = MobileResnetGenerator(ngf=cfg.ngf, cfg=cfg_BtoA)
+        fb = {"auto": None, "on": True, "off": False}[cfg.fused_resblock]
+        self.G_A = MobileResnetGenerator(ngf=cfg.ngf, cfg=cfg_AtoB,
+                                         use_fused_blocks=fb)
+        self.G_B = MobileResnetGenerator(ngf=cfg.ngf, cfg=cfg_BtoA,
+                                         use_fused_blocks=fb)
         self.D_A = PatchGAN(ndf=cfg.ndf, norm="instance", masked=self.darts,
                             threshold=cfg.threshold)
         self.D_B = PatchGAN(ndf=cfg.ndf, norm="instance", masked=self.darts,
                             threshold=cfg.threshold)
         if self.distill:
-            self.TG_A = MobileResnetGenerator(ngf=cfg.teacher_ngf)
-            self.TG_B = MobileResnetGenerator(ngf=cfg.teacher_ngf)
+            self.TG_A = MobileResnetGenerator(ngf=cfg.teacher_ngf,
+                                              use_fused_blocks=fb)
+            self.TG_B = MobileResnetGenerator(ngf=cfg.teacher_ngf,
+                                              use_fused_blocks=fb)
             self.TD_A = PatchGAN(ndf=cfg.teacher_ndf, norm="instance")
             self.TD_B = PatchGAN(ndf=cfg.teacher_ndf, norm="instance")
             t_widths = (cfg.teacher_ngf * 4,) * 4
@@ -440,6 +445,7 @@ class CycleGANEngine(CombinedStepMixin):
             mod, net = ((self.TG_A, "tg_a") if teacher else (self.G_A, "g_a"))
         else:
             mod, net = ((self.TG_B, "tg_b") if teacher else (self.G_B, "g_b"))
+        mod = self._spatial_safe(mod, net)
         return spatial_apply(mod, state.nets[net], x, mesh=mesh,
                              n_spatial=n_spatial)
 

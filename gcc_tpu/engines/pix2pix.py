@@ -67,9 +67,11 @@ class Pix2PixEngine(CombinedStepMixin):
         self.darts = cfg.darts_discriminator
         self.gan_mode = cfg.gan_mode
 
+        fb = {"auto": None, "on": True, "off": False}[cfg.fused_resblock]
         if cfg.backbone == "resnet":
             self.G = MobileResnetGenerator(output_nc=cfg.output_nc,
-                                           ngf=cfg.ngf, cfg=filter_cfgs)
+                                           ngf=cfg.ngf, cfg=filter_cfgs,
+                                           use_fused_blocks=fb)
         else:
             self.G = UnetGenerator(output_nc=cfg.output_nc,
                                    num_downs=cfg.num_downs, ngf=cfg.ngf,
@@ -82,7 +84,8 @@ class Pix2PixEngine(CombinedStepMixin):
             if cfg.backbone == "resnet":
                 t_widths = (cfg.teacher_ngf * 4,) * 4
                 self.TG = MobileResnetGenerator(output_nc=cfg.output_nc,
-                                                ngf=cfg.teacher_ngf)
+                                                ngf=cfg.teacher_ngf,
+                                                use_fused_blocks=fb)
             else:
                 t_widths = (cfg.teacher_ngf * 2, cfg.teacher_ngf * 8,
                             cfg.teacher_ngf * 16, cfg.teacher_ngf * 4)

@@ -20,7 +20,7 @@ and transform-conv sizing (gcc_tpu.compress).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,7 @@ import flax.linen as nn
 
 from gcc_tpu.ops.layers import (
     BatchNorm, Conv, ConvTranspose, InstanceNorm, PReLU, SeparableConv,
-    SubPixelConv, leaky_relu, reflect_pad,
+    SubPixelConv, conv_init, leaky_relu, reflect_pad,
 )
 from gcc_tpu.ops.attention import SelfAttention
 from gcc_tpu.ops.spectral import SpectralConvTranspose
@@ -153,6 +153,40 @@ def mobile_resnet_default_cfg(ngf: int, n_blocks: int = 9) -> list:
             + [ngf * 2, ngf])
 
 
+def _round_up_128(c: int) -> int:
+    return (c + 127) // 128 * 128
+
+
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for Conv: declares the identical kernel/bias
+    tree (same names, shapes, inits) and returns the kernel without
+    computing. Used by the fused-block path, which reads kernels directly;
+    biases are mathematically inert there (every conv feeds an affine-free
+    InstanceNorm — see ops/pallas/mobile_block.py)."""
+
+    kernel_shape: Tuple[int, ...]
+    out_ch: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", conv_init(), self.kernel_shape)
+        self.param("bias", nn.initializers.zeros, (self.out_ch,))
+        return k
+
+
+class _SepConvParams(nn.Module):
+    """Parameter tree of SeparableConv (depthwise/pointwise), fused path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        dwk = _ConvParams((3, 3, 1, in_ch), in_ch, name="depthwise")()
+        pwk = _ConvParams((1, 1, in_ch, self.features), self.features,
+                          name="pointwise")()
+        return dwk, pwk
+
+
 class MobileResnetGenerator(nn.Module):
     """ReflectPad conv7 -> 2x down -> n separable-conv residual blocks -> 2x up
     -> conv7 tanh (models/CycleGAN.py:77-138). InstanceNorm throughout.
@@ -163,6 +197,12 @@ class MobileResnetGenerator(nn.Module):
 
     Sown intermediates ('model.9', 'model.12', 'model.15', 'model.18',
     CycleGAN.py:239): relu after down2, and outputs of blocks 2, 5, 8.
+
+    use_fused_blocks: None (auto: on when on TPU and dropout-free) | bool.
+    The fused path runs each residual block as Pallas kernels holding the
+    activation in VMEM end-to-end (ops/pallas/mobile_block.py) with an
+    IDENTICAL parameter tree — checkpoints/ports are layout-compatible both
+    ways, and sown features are unchanged (blocks sow after the add).
     """
 
     output_nc: int = 3
@@ -170,11 +210,32 @@ class MobileResnetGenerator(nn.Module):
     n_blocks: int = 9
     dropout_rate: float = 0.0
     cfg: Optional[Sequence[int]] = None
+    use_fused_blocks: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         cfg = list(self.cfg) if self.cfg is not None \
             else mobile_resnet_default_cfg(self.ngf, self.n_blocks)
+        fused = self.use_fused_blocks
+        if fused is None:
+            # Measured on v5e (see benchmarks/fused_block_result.json): the
+            # Pallas block is 0.89x XLA forward / 0.74x fwd+bwd at teacher
+            # shapes — XLA's conv pipeline already sits within ~1.35x of its
+            # own traffic bound here, so fusion's traffic savings don't pay
+            # for the VPU pass overhead. Default OFF; --fused_resblock on
+            # re-enables for future hardware/compiler revisions.
+            fused = False
+        fused = fused and self.dropout_rate == 0 and min(x.shape[1:3]) >= 20
+        # init can take either path (identical param trees); the unfused one
+        # avoids compiling/executing the Pallas kernels un-jitted at init
+        fused = fused and not self.is_initializing()
+        if fused:
+            # VMEM gate: one stage must fit on-chip (~16 MB). Calibrated on
+            # v5e: the f32 C=M=256 stage at 64x64 measures ~16.6 MB.
+            hw = (x.shape[1] // 4) * (x.shape[2] // 4)
+            max_c = max(cfg[2:3 + 2 * self.n_blocks] or [0])
+            est = hw * _round_up_128(max_c) * x.dtype.itemsize * 6
+            fused = est <= 15_500_000
 
         h = reflect_pad(x, 3)
         h = Conv(cfg[0], (7, 7), (1, 1), 0, name="conv_in")(h)
@@ -187,7 +248,13 @@ class MobileResnetGenerator(nn.Module):
         feat_blocks = {2: "g_feat_1", 5: "g_feat_2", 8: "g_feat_3"}
         for b in range(self.n_blocks):
             l1, l2 = cfg[3 + 2 * b], cfg[4 + 2 * b]
-            if l1 != 0:
+            if l1 != 0 and fused:
+                from gcc_tpu.ops.pallas.mobile_block import fused_mobile_block
+                dwk1, pwk1 = _SepConvParams(
+                    l1, name=f"block_{b}_sep1")(h.shape[-1])
+                dwk2, pwk2 = _SepConvParams(l2, name=f"block_{b}_sep2")(l1)
+                h = fused_mobile_block(h, dwk1, pwk1, dwk2, pwk2)
+            elif l1 != 0:
                 r = reflect_pad(h, 1)
                 r = SeparableConv(l1, (3, 3), (1, 1), 0, name=f"block_{b}_sep1")(r)
                 r = jax.nn.relu(InstanceNorm()(r))
