@@ -153,8 +153,14 @@ class SyntheticDataset:
     """Procedural paired/unpaired data for tests and benchmarks: smooth
     random fields for B and an edge-map-like rendition for A."""
 
-    def __init__(self, cfg, seed: int = 0, length: int = 64):
+    def __init__(self, cfg, seed: int = 0, length: Optional[int] = None):
         self.cfg = cfg
+        if length is None:
+            # a finite --max_dataset_size sets the epoch size directly
+            # (soaks/benches need real epochs); unbounded keeps the small
+            # test default
+            length = (int(cfg.max_dataset_size)
+                      if np.isfinite(cfg.max_dataset_size) else 64)
         self.length = int(min(length, cfg.max_dataset_size))
         self.seed = seed
         self.mode = cfg.dataset_mode if cfg.dataset_mode != "synthetic" else {
