@@ -44,9 +44,13 @@ def make_seed_checkpoint(path: str, ngf: int = 32, num_downs: int = 8,
 
     rng_np = np.random.RandomState(0)
     g = UnetGenerator(ngf=ngf, num_downs=num_downs)
-    v = g.init({"params": jax.random.PRNGKey(0),
-                "dropout": jax.random.PRNGKey(1)},
-               jnp.zeros((1, size, size, 3)))
+    # jit the init: eager init dispatches hundreds of ops over the axon
+    # tunnel one by one (minutes); compiled it is one round trip
+    v = jax.jit(lambda k1, k2: g.init(
+        {"params": k1, "dropout": k2},
+        jnp.zeros((1, size, size, 3))))(jax.random.PRNGKey(0),
+                                        jax.random.PRNGKey(1))
+    v = jax.device_get(v)
     params = jax.tree_util.tree_map(
         lambda s: (rng_np.rand(*np.shape(s)).astype(np.float32)
                    * np.exp(rng_np.uniform(-6, 2, np.shape(s)[-1])
