@@ -96,9 +96,11 @@ class CycleGANEngine(CombinedStepMixin):
         nets["d_b"] = dict(self.D_B.init({"params": keys[3]}, img, train=True))
         # one pool size for student AND teacher pools; the cyclegan preset
         # defaults it to the reference's hard-coded ImagePool(50)
-        # (models/CycleGAN.py:342-343)
+        # (models/CycleGAN.py:342-343). An explicit 0 disables the pool
+        # (ImagePool(0).query is a pass-through, utils/image_pool.py:24-26) —
+        # used by the deterministic parity oracle.
         pool_shape = (size, size, 3)
-        pool_n = self.cfg.pool_size or 50
+        pool_n = self.cfg.pool_size
         nets["pool_a"] = pool_init(pool_n, pool_shape)
         nets["pool_b"] = pool_init(pool_n, pool_shape)
         if self.distill:
@@ -214,6 +216,14 @@ class CycleGANEngine(CombinedStepMixin):
                          "g_b": nets["tg_b"]["params"]}
             (_, (tgfA, tgfB, t_fake_B, t_fake_A)), gtg = jax.value_and_grad(
                 tg_loss, has_aux=True)(tg_bundle)
+            # the TEACHER gets the sparsity injection too: teacher_opt is a
+            # deepcopy keeping lambda_weight/lambda_scale (train.py:93-98) and
+            # the teacher's backward_G ends in L1_sparsity (CycleGAN.py:537),
+            # heavy weighting included
+            for k in ("g_a", "g_b"):
+                gtg[k] = add_sign_sparsity(
+                    gtg[k], tg_bundle[k], cfg.lambda_weight, cfg.lambda_scale,
+                    weight_scale_fn=cyclegan_heavy_sparsity)
             new_tg, opts["tg"] = adam_step(self.tx_g, gtg, opts["tg"],
                                            tg_bundle, jnp.float32(cfg.lr))
             nets["tg_a"] = {**nets["tg_a"], "params": new_tg["g_a"]}
@@ -259,10 +269,11 @@ class CycleGANEngine(CombinedStepMixin):
             (fake_B, rec_A, fake_A, rec_B, idt_A, idt_B, fA, fB) = \
                 self._g_forward_all(nets, bundle["g_a"], bundle["g_b"],
                                     A, B, capture=True)
-            pfa, _, _ = apply_net(self.D_A, nets["d_a"], fake_B,
-                                  update_stats=False)
-            pfb, _, _ = apply_net(self.D_B, nets["d_b"], fake_A,
-                                  update_stats=False)
+            # student D BN stats DO update on this forward (torch train-mode
+            # semantics, like the pix2pix engine's g_loss): the masked D is
+            # BatchNorm, and the reference never flips it to eval
+            pfa, da_v, _ = apply_net(self.D_A, nets["d_a"], fake_B)
+            pfb, db_v, _ = apply_net(self.D_B, nets["d_b"], fake_A)
             aux_m = {
                 "G_A": gan_loss(pfa, True, self.gan_mode),
                 "G_B": gan_loss(pfb, True, self.gan_mode),
@@ -296,14 +307,16 @@ class CycleGANEngine(CombinedStepMixin):
                 loss = loss + aux_m["content_A"] + aux_m["content_B"] \
                     + aux_m["gram_A"] + aux_m["gram_B"] \
                     + aux_m["L1_A"] + aux_m["L1_B"]
-            return loss, (fake_B, fake_A, aux_m)
+            return loss, (fake_B, fake_A, da_v, db_v, aux_m)
 
         g_bundle = {"g_a": nets["g_a"]["params"], "g_b": nets["g_b"]["params"]}
         if self.distill:
             g_bundle["tf_a"] = nets["tf_a"]["params"]
             g_bundle["tf_b"] = nets["tf_b"]["params"]
-        (_, (fake_B, fake_A, aux_m)), gg = jax.value_and_grad(
+        (_, (fake_B, fake_A, da_v, db_v, aux_m)), gg = jax.value_and_grad(
             g_loss, has_aux=True)(g_bundle)
+        nets["d_a"] = {**da_v, "params": nets["d_a"]["params"]}
+        nets["d_b"] = {**db_v, "params": nets["d_b"]["params"]}
         for k in ("g_a", "g_b"):
             gg[k] = add_sign_sparsity(gg[k], g_bundle[k], cfg.lambda_weight,
                                       cfg.lambda_scale,

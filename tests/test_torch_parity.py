@@ -37,9 +37,23 @@ def assert_close(ours, theirs, tol=2e-4):
     np.testing.assert_allclose(np.asarray(ours), theirs, atol=tol, rtol=tol)
 
 
+class _TorchSTEMask(torch.autograd.Function):
+    """Reference Mask autograd fn (DifferentiableOp.py:22-31): hard
+    sign-mask forward, straight-through (identity) gradient to alpha."""
+
+    @staticmethod
+    def forward(ctx, alpha, threshold):
+        return (torch.sign(alpha - threshold) + 1.0) / 2.0
+
+    @staticmethod
+    def backward(ctx, grad_output):
+        return grad_output.clone(), None
+
+
 class TorchMaskOp(nn.Module):
     """Reference DifferentiableOP from spec (models/DifferentiableOp.py:34-59):
-    mask = (sign(alpha - threshold) + 1)/2, multiplied over NCHW channels."""
+    mask = (sign(alpha - threshold) + 1)/2, multiplied over NCHW channels,
+    with the reference's straight-through alpha gradient."""
 
     def __init__(self, ch, threshold=0.5):
         super().__init__()
@@ -47,8 +61,11 @@ class TorchMaskOp(nn.Module):
         self.threshold = threshold
 
     def forward(self, x):
-        m = (torch.sign(self.alpha - self.threshold) + 1.0) / 2.0
+        m = _TorchSTEMask.apply(self.alpha, self.threshold)
         return x * m.view(1, -1, 1, 1)
+
+    def clip_alpha(self):
+        self.alpha.data.clip_(0, 1)
 
 
 def _l2n(v, eps=1e-12):
@@ -68,8 +85,13 @@ class TorchSpecNorm(nn.Module):
         u = _l2n(w.data.new(height).normal_(0, 1))
         v = _l2n(w.data.new(width).normal_(0, 1))
         self.module.register_parameter("weight_bar", nn.Parameter(w.data))
-        self.module.register_parameter("weight_u", nn.Parameter(u.data))
-        self.module.register_parameter("weight_v", nn.Parameter(v.data))
+        # u/v are NON-trainable Parameters in the reference
+        # (SAGAN.py:53-54, requires_grad=False): they ride in optimizer
+        # param groups but never receive gradients
+        self.module.register_parameter(
+            "weight_u", nn.Parameter(u.data, requires_grad=False))
+        self.module.register_parameter(
+            "weight_v", nn.Parameter(v.data, requires_grad=False))
         del self.module._parameters["weight"]
 
     def forward(self, *args):
