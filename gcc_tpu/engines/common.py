@@ -85,6 +85,48 @@ def adam_step(tx, grads, opt_state, params, lr):
     return params, opt_state
 
 
+def dup_path_mask(params, pred):
+    """Boolean pytree (static python bools): True where pred(path_str).
+
+    Marks parameters the reference's ``named_modules()`` optimizer scans add
+    TWICE to one param group (a module and its submodule both match the
+    isinstance filter, e.g. SpectralNorm wrapper + inner conv,
+    models/SAGAN.py:315-346)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: pred(_path_str(path)), params)
+
+
+def dup_adam_step(tx_single, tx_dup, grads, opt_state, params, lr, dup_mask):
+    """Adam step replicating torch's duplicate-param-group behavior.
+
+    torch.optim.Adam applies one update PER OCCURRENCE of a param in the
+    group, sharing moment/step state — a twice-added param gets two
+    sequential applications of the same gradient per step (moments decayed
+    twice, step count +2, verified empirically against torch 2.13). The
+    reference's SAGAN scans (models/SAGAN.py:315-327, 339-346) double-add
+    every SpectralNorm-wrapped conv and every attention q/k/v conv of the
+    STUDENT G (distill branch) and masked D, so those weights effectively
+    train at ~2x the step size of BatchNorm/gamma/head params.
+
+    opt_state is a (single_state, dup_state) pair over the full tree;
+    single_state advances once per step and is applied only where
+    dup_mask is False, dup_state advances twice and is applied twice where
+    dup_mask is True. dup_mask leaves are static bools, so the select
+    resolves at trace time.
+    """
+    s_st, d_st = opt_state
+    u, s_st = tx_single.update(grads, s_st, params)
+    params = jax.tree_util.tree_map(
+        lambda p, u_, m: p if m else p - lr * u_.astype(p.dtype),
+        params, u, dup_mask)
+    for _ in range(2):
+        u, d_st = tx_dup.update(grads, d_st, params)
+        params = jax.tree_util.tree_map(
+            lambda p, u_, m: p - lr * u_.astype(p.dtype) if m else p,
+            params, u, dup_mask)
+    return params, (s_st, d_st)
+
+
 # ---------------------------------------------------------------------------
 # L1 sparsity gradient injection (models/Pix2Pix.py:554-563)
 # ---------------------------------------------------------------------------

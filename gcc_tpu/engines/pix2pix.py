@@ -206,6 +206,11 @@ class Pix2PixEngine(CombinedStepMixin):
             (_, (tg_vars, td_vars2, tfeats, tfake)), gtg = \
                 jax.value_and_grad(tg_loss, has_aux=True)(
                     {"g": nets["tg"]["params"]})
+            # the TEACHER gets the sparsity injection too: teacher_opt
+            # deepcopies lambda_weight/lambda_scale (train.py:93-98) and the
+            # teacher's backward_G ends in L1_sparsity (Pix2Pix.py:552)
+            gtg["g"] = add_sign_sparsity(gtg["g"], nets["tg"]["params"],
+                                         cfg.lambda_weight, cfg.lambda_scale)
             tg_params, opts["tg"] = adam_step(
                 self.tx_g, gtg, opts["tg"], {"g": nets["tg"]["params"]},
                 jnp.float32(cfg.lr))

@@ -11,6 +11,14 @@ Semantics preserved:
     (SAGAN.py:460-492)
   * arch loss: |student disc - teacher EMA| + (l_real + l_fake), unhalved
     (SAGAN.py:388-395)
+  * the reference's student optimizer scans (SAGAN.py:315-327, 339-346)
+    add every SpectralNorm-wrapped conv and attention q/k/v conv TWICE
+    (wrapper + inner module both match the isinstance filter), and torch
+    applies one Adam update per occurrence — replicated via dup_adam_step
+    for the student G (distill branch) and masked D. The teacher model is
+    built with online_distillation=False / darts_discriminator=False
+    (train.py:93-98), so its optimizers use plain .parameters() — single
+    updates.
 """
 
 from __future__ import annotations
@@ -24,7 +32,8 @@ import jax.numpy as jnp
 from gcc_tpu.config import Config
 from gcc_tpu.engines.common import (
     CombinedStepMixin, GANState, adam_step, add_sign_sparsity, apply_net,
-    discrepancy, distill_losses, ema_update, make_adam,
+    discrepancy, distill_losses, dup_adam_step, dup_path_mask, ema_update,
+    make_adam,
 )
 from gcc_tpu.engines.pix2pix import TransformConvs
 from gcc_tpu.losses import gan_loss, l1
@@ -63,9 +72,26 @@ class SAGANEngine(CombinedStepMixin):
 
         self.tx_g = make_adam(0.0, 0.9)
         self.tx_d = make_adam(0.0, 0.9)
+        # second Adam chains for the reference's double-added params (module
+        # docstring); their counts advance 2x per step (torch-equivalent
+        # bias correction for twice-processed params)
+        self.tx_g_dup = make_adam(0.0, 0.9)
+        self.tx_d_dup = make_adam(0.0, 0.9)
         self.tx_arch = make_adam(0.9, 0.999)
         self._jit_train = jax.jit(self._train_step, donate_argnums=0)
         self._jit_arch = jax.jit(self._arch_step, donate_argnums=0)
+
+    @staticmethod
+    def _ref_dup_param(path: str) -> bool:
+        """True for params the reference adds twice to the student optimizer
+        group: SpectralNorm stage convs l1-l4 (SpectralNorm wrapper + inner
+        ConvTranspose2d/Conv2d both match the scan's isinstance filter) and
+        Self_Attn q/k/v convs (Self_Attn + inner Conv2d). gamma, BatchNorms,
+        the output layer, and transform convs appear once (SAGAN.py:315-346).
+        """
+        segs = path.split("/")
+        return any(s in ("l1", "l2", "l3", "l4", "query_conv", "key_conv",
+                         "value_conv") for s in segs)
 
     # ------------------------------------------------------------------ init
 
@@ -91,8 +117,16 @@ class SAGANEngine(CombinedStepMixin):
             g_bundle = {"g": nets["g"]["params"], "tf": nets["tf"]["params"]}
         else:
             g_bundle = {"g": nets["g"]["params"]}
-        opts["g"] = self.tx_g.init(g_bundle)
-        opts["d"] = self.tx_d.init(nets["d"]["params"])
+        if self.distill:  # duplicate-scan branch (SAGAN.py:315-327)
+            opts["g"] = (self.tx_g.init(g_bundle),
+                         self.tx_g_dup.init(g_bundle))
+        else:  # plain netG.parameters() (SAGAN.py:302)
+            opts["g"] = self.tx_g.init(g_bundle)
+        if self.darts:  # duplicate-scan branch (SAGAN.py:339-346)
+            opts["d"] = (self.tx_d.init(nets["d"]["params"]),
+                         self.tx_d_dup.init(nets["d"]["params"]))
+        else:  # plain netD.parameters() (SAGAN.py:356)
+            opts["d"] = self.tx_d.init(nets["d"]["params"])
         if self.darts:
             opts["arch"] = self.tx_arch.init(nets["d"]["arch"])
         return GANState(step=jnp.int32(0), nets=nets, opts=opts,
@@ -157,6 +191,11 @@ class SAGANEngine(CombinedStepMixin):
             (_, (tg_vars, td_vars2, tfeats, tfake)), gtg = \
                 jax.value_and_grad(tg_loss, has_aux=True)(
                     {"g": nets["tg"]["params"]})
+            # the TEACHER gets the sparsity injection too: teacher_opt
+            # deepcopies lambda_weight/lambda_scale (train.py:93-98) and the
+            # teacher's backward_G ends in L1_sparsity (SAGAN.py:494-496)
+            gtg["g"] = add_sign_sparsity(gtg["g"], nets["tg"]["params"],
+                                         cfg.lambda_weight, cfg.lambda_scale)
             tg_params, opts["tg"] = adam_step(
                 self.tx_g, gtg, opts["tg"], {"g": nets["tg"]["params"]},
                 jnp.float32(cfg.lr))
@@ -178,8 +217,14 @@ class SAGANEngine(CombinedStepMixin):
 
         (_, (d_vars, lf, lr_)), gd = jax.value_and_grad(
             d_loss, has_aux=True)(nets["d"]["params"])
-        d_params, opts["d"] = adam_step(self.tx_d, gd, opts["d"],
-                                        nets["d"]["params"], lr * 4)  # TTUR
+        if self.darts:  # TTUR + reference double-added spectral/attn convs
+            d_params, opts["d"] = dup_adam_step(
+                self.tx_d, self.tx_d_dup, gd, opts["d"], nets["d"]["params"],
+                lr * 4, dup_path_mask(nets["d"]["params"],
+                                      self._ref_dup_param))
+        else:
+            d_params, opts["d"] = adam_step(self.tx_d, gd, opts["d"],
+                                            nets["d"]["params"], lr * 4)
         nets["d"] = {**d_vars, "params": d_params}
         m["D_fake"], m["D_real"] = lf, lr_
 
@@ -211,8 +256,13 @@ class SAGANEngine(CombinedStepMixin):
             g_loss, has_aux=True)(g_bundle)
         gg["g"] = add_sign_sparsity(gg["g"], g_bundle["g"],
                                     cfg.lambda_weight, cfg.lambda_scale)
-        new_bundle, opts["g"] = adam_step(self.tx_g, gg, opts["g"],
-                                          g_bundle, lr)
+        if self.distill:  # reference double-added spectral/attn convs
+            new_bundle, opts["g"] = dup_adam_step(
+                self.tx_g, self.tx_g_dup, gg, opts["g"], g_bundle, lr,
+                dup_path_mask(g_bundle, self._ref_dup_param))
+        else:
+            new_bundle, opts["g"] = adam_step(self.tx_g, gg, opts["g"],
+                                              g_bundle, lr)
         nets["g"] = {**g_vars, "params": new_bundle["g"]}
         nets["d"] = {**d_vars2, "params": nets["d"]["params"]}
         if self.distill:

@@ -266,8 +266,9 @@ class SRGANEngine(CombinedStepMixin):
             g_bundle["tf"] = nets["tf"]["params"]
         (_, (g_vars, d_vars0, td_vars3, fake_in, aux_m)), gg = \
             jax.value_and_grad(g_loss, has_aux=True)(g_bundle)
-        gg["g"] = add_sign_sparsity(gg["g"], g_bundle["g"],
-                                    cfg.lambda_weight, cfg.lambda_scale)
+        # NO sparsity injection on the GAN path: SRGAN's backward_G does not
+        # call L1_sparsity (SRGAN.py:442-481) — only the generator-only
+        # content path does (SRGAN.py:515-521, handled above)
         new_bundle, opts["g"] = adam_step(self.tx_g, gg, opts["g"],
                                           g_bundle, lr)
         nets["g"] = {**g_vars, "params": new_bundle["g"]}
