@@ -147,6 +147,20 @@ def _inv_attn(sd, prefix, node):
     sd[f"{prefix}.gamma"] = np.asarray(node["gamma"]).reshape(1)
 
 
+def _inv_spec_v(v, kernel_hwio, deconv: bool = False):
+    """Power-iteration v: jax (h,w,c)-flattened -> torch (c,kh,kw)-flattened
+    (torch matricizes w.view(height, -1) over C-ordered (c,kh,kw) columns,
+    SAGAN.py:31-38; ours moves the height axis to the front of HWIO, leaving
+    (h,w,c) columns — see ops/spectral.py). c is I for conv (height=O) and
+    O for deconv (height=I). The vectors are equivalent up to this column
+    permutation (sigma and u are permutation-invariant), but torch resumes
+    power iteration from the stored v only if it is in ITS column order."""
+    kh, kw, ci, co = np.shape(kernel_hwio)
+    c = co if deconv else ci
+    return np.ascontiguousarray(
+        np.asarray(v).reshape(kh, kw, c).transpose(2, 0, 1).ravel())
+
+
 def export_sagan_generator(params: dict, stats: dict,
                            spectral: dict) -> dict:
     sd: Dict[str, np.ndarray] = {}
@@ -155,7 +169,8 @@ def export_sagan_generator(params: dict, stats: dict,
         sd[f"{p}.weight_bar"] = _inv_deconv(params[f"l{i}"]["kernel"])
         sd[f"{p}.bias"] = np.asarray(params[f"l{i}"]["bias"])
         sd[f"{p}.weight_u"] = np.asarray(spectral[f"l{i}"]["u"])
-        sd[f"{p}.weight_v"] = np.asarray(spectral[f"l{i}"]["v"])
+        sd[f"{p}.weight_v"] = _inv_spec_v(
+            spectral[f"l{i}"]["v"], params[f"l{i}"]["kernel"], deconv=True)
         _inv_bn(sd, f"l{i}.1", params[f"bn{i}"], stats[f"bn{i}"])
     _inv_attn(sd, "attn1", params["attn1"])
     _inv_attn(sd, "attn2", params["attn2"])
@@ -172,7 +187,8 @@ def export_sagan_discriminator(params: dict, spectral: dict,
         sd[f"{p}.weight_bar"] = _inv_conv(params[f"l{i}"]["kernel"])
         sd[f"{p}.bias"] = np.asarray(params[f"l{i}"]["bias"])
         sd[f"{p}.weight_u"] = np.asarray(spectral[f"l{i}"]["u"])
-        sd[f"{p}.weight_v"] = np.asarray(spectral[f"l{i}"]["v"])
+        sd[f"{p}.weight_v"] = _inv_spec_v(
+            spectral[f"l{i}"]["v"], params[f"l{i}"]["kernel"])
         if arch and f"mask_{i}" in arch:
             sd[f"l{i}.1.alpha"] = np.asarray(
                 arch[f"mask_{i}"]["alpha"]).reshape(-1)

@@ -195,6 +195,18 @@ def _attn(sd, prefix):
     return node
 
 
+def _spec_v(sd, module_prefix):
+    """Power-iteration v: torch (c,kh,kw)-flattened -> jax (h,w,c)-flattened
+    (inverse of torch_export._inv_spec_v; see that docstring). The torch
+    weight_bar's shape[1] is the non-height channel axis for BOTH Conv2d
+    (O,I,kh,kw) and ConvTranspose2d (I,O,kh,kw)."""
+    w = np.asarray(sd[f"{module_prefix}.weight_bar"])
+    c, kh, kw = w.shape[1], w.shape[2], w.shape[3]
+    return np.ascontiguousarray(
+        np.asarray(sd[f"{module_prefix}.weight_v"])
+        .reshape(c, kh, kw).transpose(1, 2, 0).ravel())
+
+
 def port_sagan_generator(sd: dict) -> Tuple[dict, dict, dict]:
     """torch SAGAN Generator (models/SAGAN.py:109-171) ->
     (params, batch_stats, spectral). SpectralNorm wrappers store the raw
@@ -209,7 +221,7 @@ def port_sagan_generator(sd: dict) -> Tuple[dict, dict, dict]:
         params[f"l{i}"] = {"kernel": _deconv(sd, f"{p}.weight_bar"),
                            "bias": np.asarray(sd[f"{p}.bias"])}
         spectral[f"l{i}"] = {"u": np.asarray(sd[f"{p}.weight_u"]),
-                             "v": np.asarray(sd[f"{p}.weight_v"])}
+                             "v": _spec_v(sd, p)}
         pn, sn = _bn(sd, f"l{i}.1")
         params[f"bn{i}"], stats[f"bn{i}"] = pn, sn
     params["attn1"] = _attn(sd, "attn1")
@@ -232,7 +244,7 @@ def port_sagan_discriminator(sd: dict, masked: bool = False
         params[f"l{i}"] = {"kernel": _conv(sd, f"{p}.weight_bar"),
                            "bias": np.asarray(sd[f"{p}.bias"])}
         spectral[f"l{i}"] = {"u": np.asarray(sd[f"{p}.weight_u"]),
-                             "v": np.asarray(sd[f"{p}.weight_v"])}
+                             "v": _spec_v(sd, p)}
         if masked and f"l{i}.1.alpha" in sd:
             arch[f"mask_{i}"] = {"alpha": np.asarray(
                 sd[f"l{i}.1.alpha"]).reshape(-1)}
