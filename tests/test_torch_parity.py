@@ -542,8 +542,11 @@ def test_sagan_generator_parity():
     assert_close(y, ty, tol=5e-4)
 
 
-def build_torch_srresnet(nc, n_blocks=2):
-    """Reference SRResNet topology (SRGAN.py:15-197) from spec."""
+def build_torch_srresnet(nc, n_blocks=2, filter_cfgs=None):
+    """Reference SRResNet topology (SRGAN.py:15-197) from spec.
+
+    filter_cfgs: optional per-block INNER widths (SRGAN.py:164-166's
+    pruned-student path); None keeps the dense inner width nc."""
     def cblock(cin, cout, k, bn, act):
         layers = [nn.Conv2d(cin, cout, k, 1, k // 2)]
         if bn:
@@ -561,10 +564,11 @@ def build_torch_srresnet(nc, n_blocks=2):
         return CB()
 
     class Res(nn.Module):
-        def __init__(self):
+        def __init__(self, inner=None):
             super().__init__()
-            self.conv_block1 = cblock(nc, nc, 3, True, "prelu")
-            self.conv_block2 = cblock(nc, nc, 3, True, None)
+            inner = nc if inner is None else inner
+            self.conv_block1 = cblock(nc, inner, 3, True, "prelu")
+            self.conv_block2 = cblock(inner, nc, 3, True, None)
         def forward(self, x):
             return x + self.conv_block2(self.conv_block1(x))
 
@@ -582,7 +586,8 @@ def build_torch_srresnet(nc, n_blocks=2):
             super().__init__()
             self.conv_block1 = cblock(3, nc, 9, False, "prelu")
             self.residual_blocks = nn.Sequential(
-                *[Res() for _ in range(n_blocks)])
+                *[Res(filter_cfgs[b] if filter_cfgs else None)
+                  for b in range(n_blocks)])
             self.conv_block2 = cblock(nc, nc, 3, True, None)
             self.subpixel_convolutional_blocks = nn.Sequential(
                 Sub(), Sub())
