@@ -133,6 +133,24 @@ def run(cfg) -> int:
     os.makedirs(run_dir, exist_ok=True)
     logger = get_logger(os.path.join(run_dir, "logger.log"))
 
+    # Graceful preemption: TPU-pod maintenance/preemption sends SIGTERM.
+    # Finish the in-flight iteration, persist the FULL train state, and
+    # exit 0 so --continue_train restarts the interrupted epoch — nothing
+    # is lost beyond the current epoch's partial pass. (The reference has
+    # no recovery story at all; its --continue_train is dead,
+    # options/options.py:29.) SIGKILL recovery — epoch granularity from
+    # the last epoch-end save — is exercised by benchmarks/soak.py.
+    # Installed before the engine build so a signal during the (possibly
+    # minutes-long) first compile is caught too.
+    import signal
+    preempt = {"flag": False}
+    prev_sigterm = None
+    try:
+        prev_sigterm = signal.signal(
+            signal.SIGTERM, lambda _s, _f: preempt.update(flag=True))
+    except ValueError:
+        pass  # not the main thread (embedded use); feature unavailable
+
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
         logger.info("jax_debug_nans enabled")
@@ -279,6 +297,19 @@ def run(cfg) -> int:
                     jsonl.write({"epoch": epoch, "iters": total_iters,
                                  "lr": lr, **vals})
 
+            if preempt["flag"]:
+                save_state(state_path, state)
+                with open(meta_path, "w") as f:
+                    json.dump({"epoch": epoch - 1,
+                               "preempted_in_epoch": epoch}, f)
+                logger.info(
+                    f"SIGTERM: full train state saved mid-epoch {epoch} "
+                    f"(iters {total_iters}); --continue_train restarts "
+                    f"epoch {epoch}")
+                if prev_sigterm is not None:
+                    signal.signal(signal.SIGTERM, prev_sigterm)
+                return 0
+
         if epoch % cfg.save_epoch_freq == 0:
             current_perf = evaluate(cfg, engine, state, logger, epoch)
             _save_best(cfg, engine, state, best, current_perf, epoch, logger)
@@ -305,6 +336,8 @@ def run(cfg) -> int:
         logger.info(f"End of epoch {epoch} / {total_epochs} \t "
                     f"Time Taken: {int(time.time() - epoch_start)} sec \t "
                     f"lr: {lr:.7f} ema_beta: {ema_beta:.4f}")
+    if prev_sigterm is not None:
+        signal.signal(signal.SIGTERM, prev_sigterm)
     logger.info(best.summary())
     return 0
 

@@ -278,3 +278,48 @@ def test_continue_train_resumes(tmp_path):
         assert json.load(f)["epoch"] == 2
     log = open(os.path.join(exp, "resume", "logger.log")).read()
     assert "continuing at epoch 2" in log
+
+
+@pytest.mark.slow
+def test_sigterm_graceful_preempt(tmp_path):
+    """TPU-pod preemption contract: SIGTERM mid-run finishes the in-flight
+    iteration, persists the FULL train state, and exits 0; --continue_train
+    then restarts the interrupted epoch. (The reference has no recovery at
+    all — its --continue_train flag is dead, options/options.py:29.)"""
+    import json
+    import signal
+    import threading
+    from gcc_tpu.cli.train import main as train_main
+    exp = str(tmp_path / "experiments")
+    base = (f"--dataroot synthetic --dataset_mode synthetic --model pix2pix "
+            f"--ngf 4 --ndf 4 --num_downs 5 --crop_size 32 --load_size 32 "
+            f"--batch_size 4 --n_epochs_decay 0 --save_epoch_freq 1000 "
+            f"--checkpoints_dir {exp} --print_freq 100 --name preempt")
+    # enough epochs that the signal always lands mid-run; fires during the
+    # first compile at worst, which still preempts after iteration 1
+    timer = threading.Timer(
+        15.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
+    timer.start()
+    try:
+        rc = train_main((base + " --n_epochs 100000").split())
+    finally:
+        timer.cancel()
+    assert rc == 0
+    meta_path = os.path.join(exp, "preempt", "checkpoints",
+                             "train_state.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert "preempted_in_epoch" in meta
+    assert meta["epoch"] == meta["preempted_in_epoch"] - 1
+    log = open(os.path.join(exp, "preempt", "logger.log")).read()
+    assert "SIGTERM: full train state saved" in log
+    # resume completes the interrupted epoch and finishes cleanly
+    # (save_epoch_freq re-set so the final epoch writes its meta)
+    resume_to = meta["preempted_in_epoch"]
+    assert train_main(
+        (base + f" --n_epochs {resume_to} --continue_train "
+                f"--save_epoch_freq {resume_to}").split()) == 0
+    with open(meta_path) as f:
+        assert json.load(f)["epoch"] == resume_to
+    log = open(os.path.join(exp, "preempt", "logger.log")).read()
+    assert f"continuing at epoch {resume_to}" in log
