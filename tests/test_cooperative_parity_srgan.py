@@ -211,3 +211,28 @@ def test_final_bn_stats_parity(trajectories):
             print(f"{tag}.norm_{i}: mean {dm:.2e} var {dv:.2e}")
             assert dm < mean_tol, f"{tag}.norm_{i} mean {dm}"
             assert dv < 1e-4, f"{tag}.norm_{i} var {dv}"
+
+
+def test_reference_mode_freezes_prelu():
+    """Pins the reference accident the engine deviates from: with the
+    reference's optimizer scan (include_prelu=False, SRGAN.py:342-352's
+    isinstance filter), student-G PReLU alphas receive NO updates across a
+    full iteration while every conv kernel moves; include_prelu=True (the
+    engine-aligned mode used by the parity fixture) trains them."""
+    torch.manual_seed(1)
+    oracle = SRGANOracle(ngf=8, ndf=8, teacher_ngf=8, teacher_ndf=8,
+                         lr=1e-3, include_prelu=False)
+    a0 = oracle.sG.conv_block1.conv_block[1].weight.detach().clone()
+    k0 = oracle.sG.conv_block1.conv_block[0].weight.detach().clone()
+    ta0 = oracle.tG.conv_block1.conv_block[1].weight.detach().clone()
+    rng = np.random.RandomState(9)
+    hr = torch.tensor(rng.rand(2, 3, 32, 32).astype(np.float32) * 2 - 1)
+    lr_img = torch.tensor(rng.rand(2, 3, 8, 8).astype(np.float32) * 2 - 1)
+    oracle.iteration(lr_img, hr, lr_img, hr)
+    a1 = oracle.sG.conv_block1.conv_block[1].weight.detach()
+    k1 = oracle.sG.conv_block1.conv_block[0].weight.detach()
+    ta1 = oracle.tG.conv_block1.conv_block[1].weight.detach()
+    assert torch.equal(a0, a1), "reference mode must freeze student PReLU"
+    assert not torch.equal(k0, k1), "conv kernels must train"
+    # the teacher uses plain .parameters(): its PReLU DOES train
+    assert not torch.equal(ta0, ta1), "teacher PReLU must train"
