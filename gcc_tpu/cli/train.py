@@ -246,6 +246,8 @@ def run(cfg) -> int:
             logger.info(f"profiler unavailable: {e}")
     for epoch in range(start_epoch, total_epochs + 1):
         epoch_start = time.time()
+        # epoch-keyed shuffle: resumed runs replay the uninterrupted order
+        train_loader.set_epoch(epoch)
         lr = plateau.lr if plateau else lr_for_epoch(cfg, epoch)
         ema_beta = ema_beta_for_epoch(cfg, epoch)
         arch_lr = cfg.arch_lr

@@ -34,8 +34,19 @@ class Loader:
         self.shuffle = shuffle
         self.num_threads = max(1, num_threads)
         self.prefetch = max(1, prefetch)
+        self.seed = seed
         self.rng = np.random.RandomState(seed)
         self.drop_last = drop_last
+        self._epoch = None
+
+    def set_epoch(self, epoch: int) -> None:
+        """Key the next epoch's shuffle to `epoch` (torch
+        DistributedSampler.set_epoch convention): a resumed
+        `--continue_train` run then replays the SAME per-epoch data order
+        an uninterrupted run would have seen, instead of restarting the
+        shuffle stream from scratch. Without a call, the legacy
+        sequential-stream behavior is unchanged."""
+        self._epoch = int(epoch)
 
     def __len__(self):
         n = len(self.dataset)
@@ -46,7 +57,9 @@ class Loader:
     def _index_batches(self) -> List[np.ndarray]:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            self.rng.shuffle(idx)
+            rng = self.rng if self._epoch is None else \
+                np.random.RandomState(self.seed * 1000003 + self._epoch)
+            rng.shuffle(idx)
         batches = [idx[i:i + self.batch_size]
                    for i in range(0, len(idx), self.batch_size)]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:

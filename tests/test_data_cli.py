@@ -323,3 +323,37 @@ def test_sigterm_graceful_preempt(tmp_path):
         assert json.load(f)["epoch"] == resume_to
     log = open(os.path.join(exp, "preempt", "logger.log")).read()
     assert f"continuing at epoch {resume_to}" in log
+
+
+def test_epoch_keyed_shuffle_resume_order():
+    """Loader.set_epoch keys each epoch's shuffle to the epoch number, so a
+    resumed run replays the SAME per-epoch order an uninterrupted run saw
+    (torch DistributedSampler.set_epoch convention); without set_epoch the
+    legacy sequential stream is unchanged."""
+    from gcc_tpu.data.loader import Loader
+
+    class Ints:
+        def __len__(self):
+            return 17
+
+        def __getitem__(self, i):
+            return {"v": np.asarray([i])}
+
+    def order(loader):
+        return [int(v) for b in loader for v in b["v"].ravel()]
+
+    a = Loader(Ints(), batch_size=4, shuffle=True, num_threads=1, seed=3)
+    b = Loader(Ints(), batch_size=4, shuffle=True, num_threads=1, seed=3)
+    # uninterrupted run: epochs 1..3
+    orders = {}
+    for e in (1, 2, 3):
+        a.set_epoch(e)
+        orders[e] = order(a)
+    assert orders[1] != orders[2]  # reshuffles between epochs
+    # "resumed" run starts directly at epoch 3 and must match
+    b.set_epoch(3)
+    assert order(b) == orders[3]
+    # legacy mode (no set_epoch): stream depends on iteration count only
+    c = Loader(Ints(), batch_size=4, shuffle=True, num_threads=1, seed=3)
+    d = Loader(Ints(), batch_size=4, shuffle=True, num_threads=1, seed=3)
+    assert order(c) == order(d)
