@@ -221,7 +221,6 @@ def run(cfg) -> int:
     state = replicate_state(state, mesh)
 
     train_loader, val_loader = create_split_dataset(cfg, seed=cfg.seed)
-    val_stream = InfiniteLoader(val_loader)
     logger.info(f"The number of training images = "
                 f"{len(train_loader.dataset)}")
     logger.info(f"mesh: {mesh.shape}")
@@ -246,8 +245,13 @@ def run(cfg) -> int:
             logger.info(f"profiler unavailable: {e}")
     for epoch in range(start_epoch, total_epochs + 1):
         epoch_start = time.time()
-        # epoch-keyed shuffle: resumed runs replay the uninterrupted order
+        # epoch-keyed shuffles: resumed runs replay the uninterrupted order
         train_loader.set_epoch(epoch)
+        val_loader.set_epoch(epoch)
+        # fresh DARTS val iterator each epoch, as the reference does
+        # (train.py:131); InfiniteLoader still cycles if val is smaller
+        # than train
+        val_stream = InfiniteLoader(val_loader)
         lr = plateau.lr if plateau else lr_for_epoch(cfg, epoch)
         ema_beta = ema_beta_for_epoch(cfg, epoch)
         arch_lr = cfg.arch_lr
