@@ -59,7 +59,10 @@ def _spread_params(module, example, seed=0):
     return jax.tree_util.tree_map(leaf, shapes)
 
 
-def bench_family(name: str, batch: int, steps: int, infer: bool = False):
+def build_family(name: str, batch: int):
+    """Engine + train/val batches at the reference shapes/budgets for one
+    family (shared by the throughput sweep below and
+    benchmarks/serving_latency.py)."""
     import jax
     import jax.numpy as jnp
     from gcc_tpu.config import Config
@@ -119,7 +122,14 @@ def bench_family(name: str, batch: int, steps: int, infer: bool = False):
         val_d = {"lr": img(24), "hr": img(96)}
     else:
         raise ValueError(name)
+    return eng, batch_d, val_d
 
+
+def bench_family(name: str, batch: int, steps: int, infer: bool = False):
+    import jax
+    import jax.numpy as jnp
+
+    eng, batch_d, val_d = build_family(name, batch)
     state = eng.init_state(jax.random.PRNGKey(0))
 
     if infer:
