@@ -342,6 +342,18 @@ def run(cfg) -> int:
         logger.info(f"End of epoch {epoch} / {total_epochs} \t "
                     f"Time Taken: {int(time.time() - epoch_start)} sec \t "
                     f"lr: {lr:.7f} ema_beta: {ema_beta:.4f}")
+        if preempt["flag"]:
+            # SIGTERM arrived during epoch-end eval/save: the epoch is
+            # COMPLETE, so persist with this epoch's number and exit now
+            # instead of burning the next epoch's first iteration.
+            save_state(state_path, state)
+            with open(meta_path, "w") as f:
+                json.dump({"epoch": epoch}, f)
+            logger.info(f"SIGTERM: full train state saved at end of epoch "
+                        f"{epoch}; --continue_train resumes at {epoch + 1}")
+            if prev_sigterm is not None:
+                signal.signal(signal.SIGTERM, prev_sigterm)
+            return 0
     if prev_sigterm is not None:
         signal.signal(signal.SIGTERM, prev_sigterm)
     logger.info(best.summary())
