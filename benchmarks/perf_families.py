@@ -218,7 +218,10 @@ def main():
                          args.steps, infer=args.infer)
         if r:
             results.append(r)
-    if results and not args.infer:
+    # persist the canonical artifact only for a FULL default sweep — a
+    # partial --families smoke run must not clobber the recorded numbers
+    full = set(args.families.split(",")) == {"cyclegan", "sagan", "srgan"}
+    if results and not args.infer and full:
         out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "perf_families_result.json")
         payload = {"backend": jax.default_backend(),
