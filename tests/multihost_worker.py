@@ -47,6 +47,27 @@ def main():
     if bs:
         leaf = jax.tree_util.tree_leaves(bs)[0]
         out["_bn_leaf_sum"] = float(np.sum(np.asarray(leaf)))
+
+    # ---- spatial partitioning across PROCESS boundaries ----
+    # conv halo exchanges and InstanceNorm (H,W)-mean all-reduces must ride
+    # cross-process collectives; compare against the unsharded single-device
+    # forward inside jit (max |delta| is a replicated scalar both
+    # controllers can read)
+    import jax.numpy as jnp
+    from gcc_tpu.models.generators import MobileResnetGenerator
+    from gcc_tpu.parallel import make_mesh_2d, spatial_sharding
+    from gcc_tpu.parallel.spatial import jit_spatial_forward
+
+    g = MobileResnetGenerator(ngf=4, n_blocks=2)
+    x = rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1
+    gv = g.init({"params": jax.random.PRNGKey(1)}, jnp.zeros((1, 32, 32, 3)),
+                train=False)
+    mesh2 = make_mesh_2d(2, 4)  # data x spatial, spanning both processes
+    fwd = jit_spatial_forward(g, mesh2, train=False)
+    y_sp = fwd(gv, jax.device_put(x, spatial_sharding(mesh2)))
+    y_ref = g.apply(gv, jnp.asarray(x), train=False)  # single local device
+    delta = jax.jit(lambda a, b: jnp.max(jnp.abs(a - b)))(y_sp, y_ref)
+    out["_spatial_max_delta"] = float(delta)
     print("RESULT " + json.dumps(out), flush=True)
 
 

@@ -58,6 +58,11 @@ def test_two_process_dp_step_matches_single_process():
     for k in outs[0]:
         assert abs(outs[0][k] - outs[1][k]) < 1e-6, (k, outs)
 
+    # spatial partitioning across process boundaries: conv halos +
+    # InstanceNorm all-reduces crossed Gloo and still reproduce the
+    # unsharded single-device forward
+    assert outs[0]["_spatial_max_delta"] < 1e-5, outs[0]
+
     # and it matches the single-process 8-device mesh (conftest devices)
     import jax
     from gcc_tpu.config import Config
