@@ -37,6 +37,44 @@ V5E_BF16_PEAK_TFS = 197.0
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 _TORCH_REF_JSON = os.path.join(_REPO, "benchmarks", "torch_ref_result.json")
+_LAST_MEASURED = os.path.join(_REPO, "benchmarks", "bench_last_measured.json")
+
+
+def _backend_probe(timeout_s: float) -> bool:
+    """True iff the device backend initializes in a fresh subprocess.
+
+    The axon TPU tunnel, when down, makes jax.devices() HANG for minutes
+    rather than fail (CLAUDE.md gotchas) — probing in a subprocess with a
+    hard timeout lets the bench fail fast and fall back to the cached
+    measurement instead of stalling the driver's end-of-round run.
+    """
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _emit_cached_fallback(reason: str) -> int:
+    """Print the last successful measurement, clearly labeled as cached."""
+    try:
+        with open(_LAST_MEASURED) as f:
+            out = json.load(f)
+    except (OSError, ValueError):
+        print(json.dumps({"metric": "images/sec/chip", "value": None,
+                          "unit": "images/sec/chip", "vs_baseline": None,
+                          "error": reason}))
+        return 1
+    out["cached"] = True
+    out["cached_reason"] = (
+        reason + "; value is the most recent real-chip measurement "
+        "(see measured_at_utc), reproducible with `python bench.py` "
+        "when the tunnel is healthy")
+    print(json.dumps(out))
+    return 0
 
 
 def _torch_cpu_anchor():
@@ -73,9 +111,19 @@ def main() -> None:
     p.add_argument("--infer", action="store_true",
                    help="measure pruned-generator inference throughput "
                         "instead of the training iteration")
+    p.add_argument("--probe_timeout", type=float, default=150.0,
+                   help="seconds to wait for the device backend before "
+                        "falling back to the cached measurement (0 = no "
+                        "probe)")
     args = p.parse_args()
     if args.steps < 1:
         p.error("--steps must be >= 1")
+
+    if not args.smoke and args.probe_timeout > 0:
+        if not _backend_probe(args.probe_timeout):
+            sys.exit(_emit_cached_fallback(
+                "device backend failed to initialize within "
+                f"{args.probe_timeout:.0f}s (axon TPU tunnel down)"))
 
     import jax
     if args.smoke:
@@ -249,6 +297,14 @@ def main() -> None:
                                     / anchor["imgs_per_sec"], 1)
                               if anchor else None)
         out["baseline"] = {"torch_cpu_measured": anchor}
+    if not args.smoke and jax.default_backend() != "cpu":
+        # refresh the cached measurement the tunnel-down fallback serves
+        try:
+            with open(_LAST_MEASURED, "w") as f:
+                json.dump({**out, "measured_at_utc": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}, f, indent=1)
+        except OSError:
+            pass
     print(json.dumps(out))
 
 
