@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from gcc_tpu.losses import gan_loss, gram, mse, sqrt_mse
+from gcc_tpu.losses import gan_loss, gram, gram_pair_err, mse, sqrt_mse
 
 
 @struct.dataclass
@@ -184,7 +184,7 @@ def distill_losses(feats: List[jax.Array], targets: List[jax.Array],
     for f, t in zip(feats, targets):
         t = jax.lax.stop_gradient(t)
         content = content + err(f, t)
-        gram_l = gram_l + err(gram(f), gram(t))
+        gram_l = gram_l + gram_pair_err(f, t, use_sqrt)
     return content, gram_l
 
 

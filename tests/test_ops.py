@@ -84,6 +84,40 @@ class TestGram:
         gt = (f @ f.transpose(1, 2) / (c * h * w)).numpy()
         np.testing.assert_allclose(g, gt, rtol=1e-5, atol=1e-6)
 
+    def test_gram_pair_err_f32_uses_exact_path(self, rng):
+        """f32 inputs must take the reference-exact direct-gram path
+        (bit-identical), regardless of hw vs c."""
+        f = jnp.array(rng.randn(2, 2, 2, 16).astype(np.float32))  # hw=4 < c
+        t = jnp.array(rng.randn(2, 2, 2, 16).astype(np.float32))
+        for use_sqrt in (True, False):
+            direct = (losses.sqrt_mse if use_sqrt else losses.mse)(
+                losses.gram(f), losses.gram(t))
+            fast = losses.gram_pair_err(f, t, use_sqrt)
+            assert float(direct) == float(fast)
+
+    def test_gram_pair_err_bf16_lowrank_matches_direct(self, rng):
+        """The hw<c kernel-matrix identity (bf16 fast path) agrees with
+        the direct gram computation — value and gradient."""
+        f32 = rng.randn(3, 2, 2, 32).astype(np.float32)  # hw=4 < c=32
+        t32 = rng.randn(3, 2, 2, 32).astype(np.float32)
+        f = jnp.array(f32).astype(jnp.bfloat16)
+        t = jnp.array(t32).astype(jnp.bfloat16)
+        for use_sqrt in (True, False):
+            direct = (losses.sqrt_mse if use_sqrt else losses.mse)(
+                losses.gram(f), losses.gram(t))
+            fast = losses.gram_pair_err(f, t, use_sqrt)
+            np.testing.assert_allclose(float(fast), float(direct),
+                                       rtol=1e-4)
+            gd = jax.grad(lambda f: (losses.sqrt_mse if use_sqrt
+                                     else losses.mse)(losses.gram(f),
+                                                      losses.gram(t)))(f)
+            gf = jax.grad(
+                lambda f: losses.gram_pair_err(f, t, use_sqrt))(f)
+            # bf16 grads: one-ulp (2^-8 relative) noise on tiny entries
+            np.testing.assert_allclose(
+                np.asarray(gf, np.float32), np.asarray(gd, np.float32),
+                rtol=2e-2, atol=1e-6)
+
 
 class TestLayersVsTorch:
     """Op-level parity against torch CPU with identical weights."""
