@@ -40,6 +40,9 @@ def main(argv=None) -> int:
     os.makedirs(run_dir, exist_ok=True)
     logger = get_logger(os.path.join(run_dir, "logger.log"))
 
+    from gcc_tpu.utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache(cfg, logger)
+
     if not cfg.pretrain_path or not os.path.exists(cfg.pretrain_path):
         raise FileNotFoundError("pretrain model path must exist")
     ckpt = load_checkpoint(cfg.pretrain_path)

@@ -155,6 +155,9 @@ def run(cfg) -> int:
         jax.config.update("jax_debug_nans", True)
         logger.info("jax_debug_nans enabled")
 
+    from gcc_tpu.utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache(cfg, logger)
+
     # print_options parity (options/options.py:130-152, disabled there):
     # dump the resolved config into the run dir
     import dataclasses as _dc

@@ -145,6 +145,7 @@ class Config:
     spatial_shards: int = 1  # >1: shard image H over devices at eval (parallel/spatial.py)
     pallas_attn_threshold: int = 1024  # min H*W for the fused flash-attention kernel on TPU
     fused_resblock: str = "auto"  # auto|on|off: Pallas fused MobileResnet blocks
+    compile_cache: str = "auto"  # persistent XLA compilation cache dir; auto => <checkpoints_dir>/jax_compile_cache; "" disables
     prefetch: int = 2  # host->device pipeline depth
     vgg_path: Optional[str] = None  # torch VGG19 state_dict for SRGAN perceptual loss
     inception_path: Optional[str] = None  # FID InceptionV3 weights

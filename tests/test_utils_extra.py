@@ -133,3 +133,30 @@ def test_locked_random_state_concurrent_draws():
     assert all(0.0 <= v < 1.0 for _, floats in results for v in floats)
     assert sum(len(i) + len(f) for i, f in results) == n_threads * per_thread * 2
     assert 0 <= rng.randint(0, 10) < 10  # state still functional
+
+
+def test_compile_cache_enable(tmp_path):
+    """compile_cache.enable points JAX's persistent cache at the resolved
+    dir ("auto" => <checkpoints_dir>/jax_compile_cache), compiled
+    executables land there, and "" disables. Global config is restored."""
+    from gcc_tpu.utils.compile_cache import enable
+
+    cfg = Config(checkpoints_dir=str(tmp_path), compile_cache="auto")
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        path = enable(cfg)
+        assert path == os.path.join(str(tmp_path), "jax_compile_cache")
+        assert os.path.isdir(path)
+        assert jax.config.jax_compilation_cache_dir == path
+        # force even trivial compiles into the cache, then compile one
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        x = jnp.arange(64.0).reshape(8, 8)
+        jax.jit(lambda a: a @ a.T + jnp.tanh(a))(x).block_until_ready()
+        assert len(os.listdir(path)) >= 1, "no cache entry written"
+
+        assert enable(Config(compile_cache="")) is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_min)
