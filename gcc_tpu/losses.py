@@ -117,23 +117,6 @@ def gram_pair_err(f: jax.Array, t: jax.Array,
     return (sqrt_mse if use_sqrt else mse)(gram(f), gram(t))
 
 
-def distillation_loss(student_feats, teacher_feats, use_sqrt: bool = True):
-    """Content + gram feature-matching losses over paired feature lists.
-
-    pix2pix/sagan/srgan use sqrt(MSE(.)); cyclegan uses plain MSE
-    (CycleGAN.py:513-514). Teacher features are stop-gradiented (the
-    reference compares against ``target_feature.detach()``).
-    """
-    err = sqrt_mse if use_sqrt else mse
-    content = 0.0
-    gram_l = 0.0
-    for s, t in zip(student_feats, teacher_feats):
-        t = jax.lax.stop_gradient(t)
-        content = content + err(s, t)
-        gram_l = gram_l + gram_pair_err(s, t, use_sqrt)
-    return content, gram_l
-
-
 def tv_loss(x: jax.Array, weight: float = 1.0) -> jax.Array:
     """Total-variation loss (models/GANLoss.py:76-93), NHWC input."""
     b, h, w, c = x.shape
