@@ -1,0 +1,111 @@
+"""Serving export: pruned generators as portable StableHLO artifacts.
+
+The reference's only deployment story is "load the .pth in torch and call
+netG" (reference test.py:131-163). TPU-natively we can do better:
+`jax.export` serializes the *compiled function itself* — weights baked in as
+constants — into a single StableHLO artifact that any JAX process (or an XLA
+runtime via PJRT) can deserialize and call **without gcc_tpu, flax, or the
+checkpoint**. One artifact serves every batch size: the batch dimension is
+exported symbolically.
+
+Portability rules applied to the exported module:
+- Pallas kernels are excluded (flash attention -> einsum path, fused mobile
+  blocks -> XLA path): the artifact must lower for every requested platform,
+  and at serving batch sizes the XLA paths are within noise of the fused
+  ones (benchmarks/serving_latency.py).
+- Multi-platform lowering defaults to ("cpu", "tpu") so the same file runs
+  on a dev box and a serving chip.
+
+Artifact container: the raw `Exported.serialize()` bytes, written verbatim.
+Load with `jax.export.deserialize(bytearray(open(p,'rb').read())).call(x)`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import export as jexport
+
+
+def _portable(mod):
+    """Clone a generator module with every Pallas path forced off, so the
+    exported StableHLO lowers on any platform (see module docstring)."""
+    overrides = {}
+    if getattr(mod, "use_fused_blocks", None) is not False and \
+            hasattr(mod, "use_fused_blocks"):
+        overrides["use_fused_blocks"] = False
+    if hasattr(mod, "pallas_attn_threshold"):
+        overrides["pallas_attn_threshold"] = 2 ** 31
+    return mod.clone(**overrides) if overrides else mod
+
+
+def _pick_generator(engine, direction: str, teacher: bool):
+    """(module, net-key) of the requested generator, mirroring the engines'
+    own generate() dispatch (engines/*.py)."""
+    name = type(engine).__name__
+    if name == "CycleGANEngine":
+        if direction not in ("AtoB", "BtoA"):
+            raise ValueError(f"cyclegan export needs direction AtoB|BtoA, "
+                             f"got {direction!r}")
+        if direction == "AtoB":
+            return (engine.TG_A, "tg_a") if teacher else (engine.G_A, "g_a")
+        return (engine.TG_B, "tg_b") if teacher else (engine.G_B, "g_b")
+    return (engine.TG, "tg") if teacher else (engine.G, "g")
+
+
+def example_input_shape(cfg) -> Tuple[int, ...]:
+    """Per-family serving input shape at the configured sizes (batch 1)."""
+    if cfg.model == "sagan":
+        return (1, cfg.z_dim)
+    if cfg.model == "srgan":
+        s = cfg.image_size // cfg.upscale_factor
+        return (1, s, s, 3)
+    return (1, cfg.crop_size, cfg.crop_size, 3)
+
+
+def export_generator(engine, state, example_shape: Sequence[int],
+                     *, direction: str = "AtoB", teacher: bool = False,
+                     platforms: Sequence[str] = ("cpu", "tpu"),
+                     poly_batch: bool = True,
+                     dtype=jnp.float32) -> jexport.Exported:
+    """Export one generator as a self-contained serving function.
+
+    example_shape includes the batch dim; with poly_batch the batch becomes
+    the symbolic dimension "b" so one artifact serves any batch size.
+    dtype sets both the input spec and the baked-in weights (bf16 halves the
+    artifact and is the measured serving dtype on v5e).
+    """
+    from gcc_tpu.engines.common import apply_net
+
+    mod, key = _pick_generator(engine, direction, teacher)
+    mod = _portable(mod)
+    net = jax.device_get(state.nets[key])
+    net = jax.tree_util.tree_map(
+        lambda a: a.astype(dtype) if jnp.issubdtype(
+            jnp.asarray(a).dtype, jnp.floating) else a, net)
+
+    def serve(x):
+        out, _, _ = apply_net(mod, net, x, train=False, update_stats=False)
+        return out
+
+    shape = tuple(example_shape)
+    if poly_batch:
+        (b,) = jexport.symbolic_shape("b")
+        shape = (b,) + shape[1:]
+    spec = jax.ShapeDtypeStruct(shape, dtype)
+    return jexport.export(jax.jit(serve), platforms=list(platforms))(spec)
+
+
+def save_exported(exported: jexport.Exported, path: str) -> int:
+    """Write the serialized artifact; returns its size in bytes."""
+    data = bytes(exported.serialize())
+    with open(path, "wb") as f:
+        f.write(data)
+    return len(data)
+
+
+def load_exported(path: str) -> jexport.Exported:
+    with open(path, "rb") as f:
+        return jexport.deserialize(bytearray(f.read()))
