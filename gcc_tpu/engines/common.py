@@ -220,10 +220,10 @@ class CombinedStepMixin:
     train.py:144-151). Halves per-iteration dispatches and lets XLA schedule
     across the two phases. Engines provide _train_step and _arch_step."""
 
-    def train_arch_step(self, state, batch, val_batch, lr, ema_beta,
-                        arch_lr=None):
-        if arch_lr is None:
-            arch_lr = self.cfg.arch_lr
+    @property
+    def combined_jit(self):
+        """The fused train+arch jitted step, built lazily (also the AOT
+        surface: benchmarks lower() it for cost/memory analysis)."""
         if not hasattr(self, "_jit_combined"):
             def _combined(state, batch, val_batch, lr, ema_beta, arch_lr):
                 state, m = self._train_step(state, batch, lr)
@@ -231,7 +231,13 @@ class CombinedStepMixin:
                                             arch_lr)
                 return state, {**m, **am}
             self._jit_combined = jax.jit(_combined, donate_argnums=0)
-        return self._jit_combined(state, batch, val_batch, jnp.float32(lr),
+        return self._jit_combined
+
+    def train_arch_step(self, state, batch, val_batch, lr, ema_beta,
+                        arch_lr=None):
+        if arch_lr is None:
+            arch_lr = self.cfg.arch_lr
+        return self.combined_jit(state, batch, val_batch, jnp.float32(lr),
                                   jnp.float32(ema_beta),
                                   jnp.float32(arch_lr))
 
