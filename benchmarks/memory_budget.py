@@ -126,7 +126,18 @@ def measure_family(name: str, batch: int) -> dict:
 
     per_img = (m2["peak"] - m1["peak"]) / batch  # bytes/image slope
     fixed = m1["peak"] - per_img * batch
-    max_batch = int((V5E_HBM_BYTES - fixed) / per_img) if per_img > 0 else None
+    # ADVICE r3: when the peak is dominated by batch-independent temps the
+    # slope is ~0 and a linear extrapolation is nonsense (cyclegan at batch 16
+    # "supports batch 4579" while already at 13.9/16 GiB). Only report a max
+    # batch when the batch-dependent share is a meaningful fraction of the
+    # peak; otherwise flag the estimate as unreliable.
+    slope_share = (per_img * batch / m1["peak"]) if m1["peak"] else 0.0
+    if per_img > 0 and slope_share >= 0.05:
+        max_batch = int((V5E_HBM_BYTES - fixed) / per_img)
+        slope_reliable = True
+    else:
+        max_batch = None
+        slope_reliable = False
     out = {
         "family": name,
         "batch": batch,
@@ -139,6 +150,8 @@ def measure_family(name: str, batch: int) -> dict:
         "bytes_per_image": int(per_img),
         "fixed_bytes": int(fixed),
         "est_max_batch_16gb": max_batch,
+        "slope_reliable": slope_reliable,
+        "batch_dependent_share_of_peak": round(slope_share, 4),
         "headroom_vs_knee": (round(max_batch / batch, 2)
                              if max_batch else None),
         "pct_of_hbm_at_knee": round(100 * m1["peak"] / V5E_HBM_BYTES, 1),

@@ -18,6 +18,16 @@ from typing import Optional
 import numpy as np
 from flax import serialization
 
+# Bumped whenever the on-disk layout changes incompatibly. Files written
+# before versioning existed carry no marker and load as version 0 (the
+# current layout — nothing has changed yet, only the marker is new).
+SCHEMA_VERSION = 1
+_SCHEMA_KEY = "__gcc_tpu_schema__"
+
+
+class CheckpointError(RuntimeError):
+    """Actionable checkpoint failure (corrupt/truncated/version-mismatched)."""
+
 
 def _to_numpy(tree):
     """numpy-ify leaves; tuples become lists (msgpack has no tuple type)."""
@@ -31,17 +41,59 @@ def _to_numpy(tree):
 
 
 def save_checkpoint(path: str, payload: dict) -> None:
+    """Atomic, versioned save: write to a temp file, fsync, then rename.
+
+    A SIGKILL/power-loss mid-write leaves either the old file or nothing —
+    never a torn checkpoint under the final name (the preemption handler in
+    cli/train.py relies on this)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    data = serialization.msgpack_serialize(_to_numpy(payload))
+    body = dict(_to_numpy(payload))
+    body[_SCHEMA_KEY] = SCHEMA_VERSION
+    data = serialization.msgpack_serialize(body)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
 
 
 def load_checkpoint(path: str) -> dict:
-    with open(path, "rb") as f:
-        return serialization.msgpack_restore(f.read())
+    """Load + validate. Raises CheckpointError (not a raw msgpack error) on
+    truncated/corrupt files or a schema newer than this build understands."""
+    try:
+        with open(path, "rb") as f:
+            raw = f.read()
+    except FileNotFoundError:
+        raise CheckpointError(
+            f"checkpoint not found: {path}"
+        ) from None
+    if not raw:
+        raise CheckpointError(
+            f"checkpoint {path} is empty (0 bytes) — likely a torn write from "
+            "an interrupted save; fall back to the previous epoch's checkpoint."
+        )
+    try:
+        ckpt = serialization.msgpack_restore(raw)
+    except Exception as e:
+        raise CheckpointError(
+            f"checkpoint {path} is corrupt or truncated ({type(e).__name__}: {e}). "
+            "If this was written during a preemption/crash, use the previous "
+            "epoch's model_<N>.ckpt instead."
+        ) from e
+    if not isinstance(ckpt, dict):
+        raise CheckpointError(
+            f"checkpoint {path} does not contain a mapping "
+            f"(got {type(ckpt).__name__}) — not a GCC-TPU checkpoint."
+        )
+    version = ckpt.pop(_SCHEMA_KEY, 0)
+    if version > SCHEMA_VERSION:
+        raise CheckpointError(
+            f"checkpoint {path} has schema version {version}, but this build "
+            f"only understands <= {SCHEMA_VERSION}. Upgrade gcc_tpu or re-export "
+            "the checkpoint with `python -m gcc_tpu.cli.convert`."
+        )
+    return ckpt
 
 
 def ckpt_name(save_dir: str, epoch: Optional[int] = None,
@@ -63,6 +115,11 @@ def load_state(path: str, template):
     optax NamedTuple structure, which raw msgpack cannot carry)."""
     from flax import serialization as ser
     payload = load_checkpoint(path)
+    if "state" not in payload:
+        raise CheckpointError(
+            f"{path} is a model checkpoint (G/D/cfg), not a full-state resume "
+            "checkpoint — point --continue_train at a state_*.ckpt file."
+        )
     return ser.from_state_dict(template, payload["state"])
 
 

@@ -34,6 +34,16 @@ def enable(cfg, logger=None) -> str | None:
     try:
         import jax
         os.makedirs(path, exist_ok=True)
+        if jax.config.jax_compilation_cache_dir not in (None, path):
+            # JAX's cache object is a lazily-initialized singleton: once a
+            # different dir has been used (e.g. a prior enable in the same
+            # process), updating the config alone is ignored — reset so the
+            # new dir actually takes effect.
+            try:
+                from jax._src import compilation_cache
+                compilation_cache.reset_cache()
+            except Exception:
+                pass
         jax.config.update("jax_compilation_cache_dir", path)
         # cache even fast compiles: the win here is the many-minute
         # cooperative steps, but tests verify via small programs

@@ -44,8 +44,10 @@ def _portable(mod):
 def _pick_generator(engine, direction: str, teacher: bool):
     """(module, net-key) of the requested generator, mirroring the engines'
     own generate() dispatch (engines/*.py)."""
-    name = type(engine).__name__
-    if name == "CycleGANEngine":
+    # Capability dispatch (not class-name string matching): any engine with
+    # per-direction generators is treated as cyclegan-shaped, so subclasses
+    # and renames keep working (ADVICE r3).
+    if hasattr(engine, "G_A") and hasattr(engine, "G_B"):
         if direction not in ("AtoB", "BtoA"):
             raise ValueError(f"cyclegan export needs direction AtoB|BtoA, "
                              f"got {direction!r}")
@@ -62,7 +64,10 @@ def example_input_shape(cfg) -> Tuple[int, ...]:
     if cfg.model == "srgan":
         s = cfg.image_size // cfg.upscale_factor
         return (1, s, s, 3)
-    return (1, cfg.crop_size, cfg.crop_size, 3)
+    # pix2pix/cyclegan generators consume cfg.input_nc channels (ADVICE r3:
+    # a checkpoint trained with --input_nc != 3 must trace with that width;
+    # engines/pix2pix.py inits G with cfg.input_nc).
+    return (1, cfg.crop_size, cfg.crop_size, getattr(cfg, "input_nc", 3))
 
 
 def export_generator(engine, state, example_shape: Sequence[int],
