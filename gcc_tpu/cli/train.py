@@ -90,13 +90,22 @@ def build_engine(cfg, logger=None):
 
 
 def set_input(cfg, batch):
-    """Direction swap (models/Pix2Pix.py:453-458) + numpy->device dict."""
+    """Direction swap (models/Pix2Pix.py:453-458) + numpy->device dict.
+
+    Packed datasets deliver uint8 (data/packed.py): those keys transfer raw
+    (4x fewer host->device bytes) and normalize on device in one fused jit."""
     import jax.numpy as jnp
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    out = {}
+    out, u8 = {}, {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray):
-            out[k] = jnp.asarray(v, dtype)
+            if v.dtype == np.uint8:
+                u8[k] = v
+            else:
+                out[k] = jnp.asarray(v, dtype)
+    if u8:
+        from gcc_tpu.data.packed import device_normalize
+        out.update(device_normalize(u8, dtype))
     if "A" in out and cfg.direction == "BtoA":
         out["A"], out["B"] = out["B"], out["A"]
     return out

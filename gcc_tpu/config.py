@@ -147,6 +147,7 @@ class Config:
     fused_resblock: str = "auto"  # auto|on|off: Pallas fused MobileResnet blocks
     compile_cache: str = "auto"  # persistent XLA compilation cache dir; auto => <checkpoints_dir>/jax_compile_cache; "" disables
     prefetch: int = 2  # host->device pipeline depth
+    pack_output: str = ""  # cli.prepare output dir ("" => <dataroot>_packed)
     vgg_path: Optional[str] = None  # torch VGG19 state_dict for SRGAN perceptual loss
     inception_path: Optional[str] = None  # FID InceptionV3 weights
     log_jsonl: bool = True

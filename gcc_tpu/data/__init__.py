@@ -19,6 +19,7 @@ from gcc_tpu.data.datasets import (
     AlignedDataset, SADataset, SRDataset, SyntheticDataset, UnalignedDataset,
 )
 from gcc_tpu.data.loader import InfiniteLoader, Loader
+from gcc_tpu.data.packed import PackedDataset, is_packed_root, pack_dataset
 
 DATASETS = {
     "aligned": AlignedDataset,
@@ -37,8 +38,14 @@ def find_dataset_using_name(name: str):
     return DATASETS[name]
 
 
-def build_dataset(cfg, seed: int = 0, **kw):
+def build_dataset(cfg, seed: int = 0, prefer_uint8: bool = False, **kw):
     mode = cfg.dataset_mode
+    if mode != "synthetic" and is_packed_root(cfg.dataroot):
+        # packed roots (cli.prepare output) are self-describing: zero-decode
+        # streaming with the randomized transform remainder online
+        return PackedDataset(
+            cfg, seed=seed,
+            out_dtype="uint8" if prefer_uint8 else "float32", **kw)
     if mode != "synthetic" and (not cfg.dataroot
                                 or not os.path.isdir(cfg.dataroot)):
         raise FileNotFoundError(
@@ -47,8 +54,9 @@ def build_dataset(cfg, seed: int = 0, **kw):
     return find_dataset_using_name(mode)(cfg, seed=seed, **kw)
 
 
-def create_dataset(cfg, seed: int = 0, drop_last: bool = False) -> Loader:
-    ds = build_dataset(cfg, seed=seed)
+def create_dataset(cfg, seed: int = 0, drop_last: bool = False,
+                   prefer_uint8: bool = False) -> Loader:
+    ds = build_dataset(cfg, seed=seed, prefer_uint8=prefer_uint8)
     return Loader(ds, cfg.batch_size, shuffle=not cfg.serial_batches,
                   num_threads=cfg.num_threads, prefetch=cfg.prefetch,
                   seed=seed, drop_last=drop_last)
@@ -56,10 +64,13 @@ def create_dataset(cfg, seed: int = 0, drop_last: bool = False) -> Loader:
 
 def create_split_dataset(cfg, seed: int = 0):
     # drop_last keeps train batch shapes static: one compiled step, no
-    # retrace on a ragged final batch (the torch loader pays that cost)
-    train = create_dataset(cfg, seed=seed, drop_last=cfg.batch_size > 1)
-    val = Loader(build_dataset(cfg, seed=seed + 1), cfg.batch_size,
-                 shuffle=not cfg.serial_batches,
+    # retrace on a ragged final batch (the torch loader pays that cost).
+    # prefer_uint8: the train entry normalizes on device (cli/train.py
+    # set_input), so packed data ships 4x fewer host->device bytes.
+    train = create_dataset(cfg, seed=seed, drop_last=cfg.batch_size > 1,
+                           prefer_uint8=True)
+    val = Loader(build_dataset(cfg, seed=seed + 1, prefer_uint8=True),
+                 cfg.batch_size, shuffle=not cfg.serial_batches,
                  num_threads=cfg.num_threads, prefetch=cfg.prefetch,
                  seed=seed + 1, drop_last=cfg.batch_size > 1)
     return train, val

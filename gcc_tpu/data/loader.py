@@ -73,7 +73,13 @@ class Loader:
         # a batch-128 step would otherwise starve the device on real data.
         # `prefetch` batches of item-futures stay in flight to overlap the
         # next batch's host work with device compute; batch order preserved.
+        #
+        # Datasets exposing get_batch (PackedDataset) take a whole-batch
+        # fast path instead: one pool task per batch — there is no decode to
+        # parallelize, only mmap slicing, and per-item future overhead would
+        # dominate it.
         batches = self._index_batches()
+        whole_batch = hasattr(self.dataset, "get_batch")
         with futures.ThreadPoolExecutor(self.num_threads) as pool:
             pending = []
             it = iter(batches)
@@ -83,8 +89,12 @@ class Loader:
                     b = next(it)
                 except StopIteration:
                     return False
-                pending.append([pool.submit(self.dataset.__getitem__, int(i))
-                                for i in b])
+                if whole_batch:
+                    pending.append(pool.submit(self.dataset.get_batch, b))
+                else:
+                    pending.append(
+                        [pool.submit(self.dataset.__getitem__, int(i))
+                         for i in b])
                 return True
 
             for _ in range(self.prefetch):
@@ -93,7 +103,10 @@ class Loader:
             while pending:
                 futs = pending.pop(0)
                 submit_next()
-                yield collate([f.result() for f in futs])
+                if whole_batch:
+                    yield futs.result()
+                else:
+                    yield collate([f.result() for f in futs])
 
 
 class InfiniteLoader:

@@ -149,19 +149,27 @@ def _eval_pix2pix(cfg, engine, state, logger):
 
 
 def _eval_srgan(cfg, engine, state, logger) -> Dict[str, float]:
-    from gcc_tpu.data.datasets import SRDataset, SyntheticDataset
+    from gcc_tpu.data.datasets import SyntheticDataset
+    from gcc_tpu.data.packed import PACK_META, is_packed_root
     results: Dict[str, float] = {}
     test_sets = ["Set5", "Set14", "B100", "Urban100"]
-    available = [t for t in test_sets
-                 if cfg.dataroot and os.path.isdir(os.path.join(cfg.dataroot, t))]
+    if is_packed_root(cfg.dataroot):
+        import json
+        with open(os.path.join(cfg.dataroot, PACK_META)) as f:
+            packed_phases = json.load(f).get("phases", {})
+        available = [t for t in test_sets if t in packed_phases]
+    else:
+        available = [t for t in test_sets if cfg.dataroot
+                     and os.path.isdir(os.path.join(cfg.dataroot, t))]
     if not available:
         available = ["val"]
     for name in available:
         if cfg.dataset_mode == "synthetic":
             ds = SyntheticDataset(eval_cfg(cfg), seed=999, length=8)
         else:
-            ds = SRDataset(eval_cfg(cfg), seed=0,
-                           test_data_name=None if name == "val" else name)
+            from gcc_tpu.data import build_dataset
+            ds = build_dataset(eval_cfg(cfg), seed=0,
+                               test_data_name=None if name == "val" else name)
         psnrs, ssims = [], []
         for i in range(len(ds)):
             item = ds[i]
