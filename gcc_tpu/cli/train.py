@@ -93,7 +93,10 @@ def set_input(cfg, batch):
     """Direction swap (models/Pix2Pix.py:453-458) + numpy->device dict.
 
     Packed datasets deliver uint8 (data/packed.py): those keys transfer raw
-    (4x fewer host->device bytes) and normalize on device in one fused jit."""
+    (4x fewer host->device bytes) and normalize on device in one fused jit.
+    Device-cached loaders (data/device_cache.py) deliver jax arrays already
+    normalized on device: those pass straight through."""
+    import jax
     import jax.numpy as jnp
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     out, u8 = {}, {}
@@ -103,6 +106,8 @@ def set_input(cfg, batch):
                 u8[k] = v
             else:
                 out[k] = jnp.asarray(v, dtype)
+        elif isinstance(v, jax.Array):
+            out[k] = v
     if u8:
         from gcc_tpu.data.packed import device_normalize
         out.update(device_normalize(u8, dtype))
@@ -232,7 +237,8 @@ def run(cfg) -> int:
     mesh = make_mesh(n_dev)
     state = replicate_state(state, mesh)
 
-    train_loader, val_loader = create_split_dataset(cfg, seed=cfg.seed)
+    train_loader, val_loader = create_split_dataset(cfg, seed=cfg.seed,
+                                                    mesh=mesh, logger=logger)
     logger.info(f"The number of training images = "
                 f"{len(train_loader.dataset)}")
     logger.info(f"mesh: {mesh.shape}")
@@ -240,6 +246,11 @@ def run(cfg) -> int:
     total_epochs = cfg.n_epochs + cfg.n_epochs_decay
     total_iters = 0
     current_perf = None
+    # HBM guardrail (utils/memory_guard.py): project the compiled step's
+    # peak before the first iteration executes. auto skips CPU (compiles
+    # there take minutes and host RAM isn't the constraint).
+    guard_pending = cfg.memory_guard in ("on", "strict") or (
+        cfg.memory_guard == "auto" and jax.default_backend() != "cpu")
     # metric-driven LR (torch ReduceLROnPlateau parity; fed the epoch-end
     # eval metric each save_epoch_freq — negated when the metric maximizes)
     plateau = Plateau(cfg.lr) if cfg.lr_policy == "plateau" else None
@@ -293,9 +304,28 @@ def run(cfg) -> int:
                 # one fused program per iteration (train + arch on val batch)
                 val_batch = shard_batch(set_input(cfg, next(val_stream)),
                                         mesh)
+                if guard_pending:
+                    guard_pending = False
+                    from gcc_tpu.utils.memory_guard import check_step
+                    import jax.numpy as jnp
+                    check_step(engine.combined_jit,
+                               (state, batch, val_batch, jnp.float32(lr),
+                                jnp.float32(ema_beta), jnp.float32(arch_lr)),
+                               batch_argnums=(1, 2),
+                               batch_size=cfg.batch_size, logger=logger,
+                               strict=cfg.memory_guard == "strict")
                 state, losses = engine.train_arch_step(
                     state, batch, val_batch, lr, ema_beta, arch_lr)
             else:
+                if guard_pending:
+                    guard_pending = False
+                    from gcc_tpu.utils.memory_guard import check_step
+                    import jax.numpy as jnp
+                    check_step(engine.train_jit,
+                               (state, batch, jnp.float32(lr)),
+                               batch_argnums=(1,),
+                               batch_size=cfg.batch_size, logger=logger,
+                               strict=cfg.memory_guard == "strict")
                 state, losses = engine.train_step(state, batch, lr)
             total_iters += cfg.batch_size
 

@@ -146,7 +146,9 @@ class Config:
     pallas_attn_threshold: int = 1024  # min H*W for the fused flash-attention kernel on TPU
     fused_resblock: str = "auto"  # auto|on|off: Pallas fused MobileResnet blocks
     compile_cache: str = "auto"  # persistent XLA compilation cache dir; auto => <checkpoints_dir>/jax_compile_cache; "" disables
+    memory_guard: str = "auto"  # auto|on|strict|off: project the step's HBM peak before the first iteration (utils/memory_guard.py); auto skips CPU, strict aborts on projected OOM
     prefetch: int = 2  # host->device pipeline depth
+    device_cache: str = "auto"  # auto|on|off: keep packed datasets resident in device HBM (data/device_cache.py); auto caches stores <= 25% of HBM on non-CPU backends
     pack_output: str = ""  # cli.prepare output dir ("" => <dataroot>_packed)
     vgg_path: Optional[str] = None  # torch VGG19 state_dict for SRGAN perceptual loss
     inception_path: Optional[str] = None  # FID InceptionV3 weights

@@ -233,6 +233,12 @@ class CombinedStepMixin:
             self._jit_combined = jax.jit(_combined, donate_argnums=0)
         return self._jit_combined
 
+    @property
+    def train_jit(self):
+        """The jitted callable train_step dispatches to (AOT surface for
+        utils/memory_guard.py). Engines with alternate paths override."""
+        return self._jit_train
+
     def train_arch_step(self, state, batch, val_batch, lr, ema_beta,
                         arch_lr=None):
         if arch_lr is None:

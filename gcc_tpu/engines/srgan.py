@@ -132,6 +132,10 @@ class SRGANEngine(CombinedStepMixin):
             return self._jit_content(state, batch, jnp.float32(lr))
         return self._jit_train(state, batch, jnp.float32(lr))
 
+    @property
+    def train_jit(self):
+        return self._jit_content if self.generator_only else self._jit_train
+
     def _perceptual(self, fake_in, real_in):
         if not self.vgg_enabled:
             return jnp.float32(0.0)

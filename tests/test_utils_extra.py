@@ -215,3 +215,91 @@ def test_compile_cache_enable(tmp_path):
             compilation_cache.reset_cache()
         except Exception:
             pass
+
+
+# ---------------------------------------------------------------------------
+# memory guard (utils/memory_guard.py, VERDICT r3 #8)
+# ---------------------------------------------------------------------------
+
+class _ListLogger:
+    def __init__(self):
+        self.infos, self.warnings = [], []
+
+    def info(self, msg):
+        self.infos.append(str(msg))
+
+    def warning(self, msg):
+        self.warnings.append(str(msg))
+
+
+def _guard_fn():
+    # batch-dependent temps dominate: big elementwise intermediate
+    return jax.jit(lambda s, b, lr: (s + b.sum(), (b * b + b).mean() * lr))
+
+
+def test_memory_guard_under_budget():
+    from gcc_tpu.utils.memory_guard import check_step
+    log = _ListLogger()
+    b = jnp.zeros((8, 16, 16, 3))
+    r = check_step(_guard_fn(), (jnp.zeros(()), b, jnp.float32(1e-3)),
+                   batch_argnums=(1,), batch_size=8,
+                   hbm_bytes=1 << 30, logger=log)
+    assert r is not None and r["peak_bytes"] < r["hbm_bytes"]
+    assert any("projected step peak" in m for m in log.infos)
+    assert not log.warnings
+
+
+def test_memory_guard_over_budget_suggests_batch():
+    """Synthetic oversize config: tiny forced HBM -> warning + max batch."""
+    from gcc_tpu.utils.memory_guard import check_step
+    log = _ListLogger()
+    b = jnp.zeros((64, 16, 16, 3))
+    r = check_step(_guard_fn(), (jnp.zeros(()), b, jnp.float32(1e-3)),
+                   batch_argnums=(1,), batch_size=64,
+                   hbm_bytes=48 * 1024, logger=log)
+    assert r["peak_bytes"] > r["hbm_bytes"]
+    assert any("EXCEEDS" in m for m in log.warnings)
+    # batch-dependent peak => a reliable fit with a real suggestion
+    assert r["batch_dependent_share"] > 0.5
+    assert 1 <= r["suggested_max_batch"] < 64
+
+
+def test_memory_guard_strict_raises():
+    from gcc_tpu.utils.memory_guard import MemoryGuardError, check_step
+    b = jnp.zeros((8, 16, 16, 3))
+    with pytest.raises(MemoryGuardError):
+        check_step(_guard_fn(), (jnp.zeros(()), b, jnp.float32(1e-3)),
+                   batch_argnums=(1,), batch_size=8, hbm_bytes=16,
+                   logger=_ListLogger(), strict=True)
+
+
+def test_memory_guard_batch_insensitive_no_nonsense():
+    """ADVICE-r3 regression shape: near-zero slope must NOT produce a
+    max-batch suggestion (the cyclegan 'batch 4579 at 13.9 GiB' bug)."""
+    from gcc_tpu.utils.memory_guard import check_step
+    log = _ListLogger()
+    w = jnp.zeros((256, 256))
+
+    # peak dominated by the batch-INDEPENDENT w @ w temp
+    f = jax.jit(lambda w, b: (w @ w @ w).sum() + b.sum())
+    r = check_step(f, (w, jnp.zeros((4, 8))), batch_argnums=(1,),
+                   batch_size=4, hbm_bytes=1024, logger=log)
+    assert r["peak_bytes"] > r["hbm_bytes"]
+    assert "suggested_max_batch" not in r
+    assert any("batch-independent" in m for m in log.warnings)
+
+
+@pytest.mark.slow
+def test_memory_guard_in_cli_train(tmp_path):
+    """--memory_guard on: cli.train logs the projection before iterating."""
+    from gcc_tpu.cli.train import main as train_main
+    exp = str(tmp_path / "experiments")
+    args = (f"--dataroot synthetic --dataset_mode synthetic --model srgan "
+            f"--ngf 4 --ndf 4 --image_size 32 --batch_size 2 --n_epochs 1 "
+            f"--n_epochs_decay 0 --generator_only --print_freq 100 "
+            f"--name mg --checkpoints_dir {exp} --save_epoch_freq 1 "
+            f"--ntest 2 --memory_guard on").split()
+    assert train_main(args) == 0
+    with open(os.path.join(exp, "mg", "logger.log")) as f:
+        log = f.read()
+    assert "memory guard: projected step peak" in log
