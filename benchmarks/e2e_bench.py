@@ -72,7 +72,8 @@ def build_engine(smoke: bool, batch: int):
     return eng, size
 
 
-def run(args, root: str, native: bool, packed: bool = False) -> dict:
+def run(args, root: str, native: bool, packed: bool = False,
+        device: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     from gcc_tpu.config import Config
@@ -87,7 +88,7 @@ def run(args, root: str, native: bool, packed: bool = False) -> dict:
                   phase="train", load_size=size + 30, crop_size=size,
                   batch_size=args.batch, num_threads=args.threads,
                   native_loader=native, serial_batches=False)
-    if packed:
+    if packed or device:
         # offline pack (cli.prepare), then zero-decode uint8 streaming with
         # on-device normalization — the VERDICT r3 #1 path
         from gcc_tpu.data.packed import pack_dataset
@@ -97,13 +98,30 @@ def run(args, root: str, native: bool, packed: bool = False) -> dict:
             pack_dataset(dcfg, out_dir=packed_root, num_threads=args.threads)
             print(f"pack time: {time.perf_counter() - t0:.1f}s", flush=True)
         dcfg = dcfg.replace(dataroot=packed_root)
-    train_iter = InfiniteLoader(create_dataset(dcfg, seed=0,
-                                               prefer_uint8=packed))
-    val_iter = InfiniteLoader(create_dataset(dcfg, seed=1,
-                                             prefer_uint8=packed))
+    if device:
+        # HBM-resident store: batches materialize on device, the host ships
+        # only crop/flip/index params (data/device_cache.py)
+        from gcc_tpu.data.packed import PackedDataset
+        from gcc_tpu.data.device_cache import DeviceCacheLoader
+        t0 = time.perf_counter()
+        train_iter = InfiniteLoader(DeviceCacheLoader(
+            PackedDataset(dcfg, seed=0, out_dtype="uint8"), args.batch,
+            dtype=dtype, seed=0))
+        val_iter = InfiniteLoader(DeviceCacheLoader(
+            PackedDataset(dcfg, seed=1, out_dtype="uint8"), args.batch,
+            dtype=dtype, seed=1))
+        print(f"device-cache upload: {time.perf_counter() - t0:.1f}s",
+              flush=True)
+    else:
+        train_iter = InfiniteLoader(create_dataset(dcfg, seed=0,
+                                                   prefer_uint8=packed))
+        val_iter = InfiniteLoader(create_dataset(dcfg, seed=1,
+                                                 prefer_uint8=packed))
 
     def fetch(it):
         b = next(it)
+        if not isinstance(b["A"], np.ndarray):
+            return {"A": b["A"], "B": b["B"]}  # device-cache: already there
         if b["A"].dtype == np.uint8:
             return device_normalize({"A": b["A"], "B": b["B"]}, dtype)
         return {"A": jnp.asarray(b["A"], dtype), "B": jnp.asarray(b["B"], dtype)}
@@ -141,6 +159,7 @@ def run(args, root: str, native: bool, packed: bool = False) -> dict:
     return {
         "native_loader": native,
         "packed": packed,
+        "device_cache": device,
         "sustained_imgs_per_sec": round(sustained, 1),
         "step_only_imgs_per_sec": round(step_only, 1),
         "loader_occupancy": round(sustained / step_only, 3),
@@ -162,6 +181,9 @@ def main():
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--threads", type=int, default=max(4, os.cpu_count()))
     p.add_argument("--n", type=int, default=384, help="synthetic JPEGs")
+    p.add_argument("--only", default="",
+                   help="comma list of configs to run: pil,native,packed "
+                        "(default all); merges into the existing JSON")
     args = p.parse_args()
 
     import jax
@@ -176,22 +198,39 @@ def main():
         jroot = os.path.join(root, "jpegs")
         make_jpegs(jroot, args.n, w=1024 if not args.smoke else 64,
                    h=512 if not args.smoke else 32)
-        for native, packed in ((False, False), (True, False), (False, True)):
+        names = {"pil": (False, False, False),
+                 "native": (True, False, False),
+                 "packed": (False, True, False),
+                 "device": (False, False, True)}
+        selected = ([names[k] for k in args.only.split(",") if k]
+                    if args.only else list(names.values()))
+        for native, packed, device in selected:
             if native:
                 from gcc_tpu import native as native_mod
                 if not native_mod.available():
                     results.append({"native_loader": True,
                                     "skipped": "engine unavailable"})
                     continue
-            r = run(args, jroot, native, packed=packed)
+            r = run(args, jroot, native, packed=packed, device=device)
             print(json.dumps(r), flush=True)
             results.append(r)
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "e2e_bench_result.json")
     if not args.smoke:
+        doc = {"ts": time.time(), "runs": []}
+        if args.only and os.path.isfile(out_path):
+            with open(out_path) as f:
+                doc = json.load(f)
+            doc["ts"] = time.time()
+            done = {(r.get("native_loader"), r.get("packed", False),
+                     r.get("device_cache", False)) for r in results}
+            doc["runs"] = [r for r in doc.get("runs", [])
+                           if (r.get("native_loader"), r.get("packed", False),
+                               r.get("device_cache", False)) not in done]
+        doc["runs"].extend(results)
         with open(out_path, "w") as f:
-            json.dump({"ts": time.time(), "runs": results}, f, indent=1)
+            json.dump(doc, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -62,15 +62,60 @@ def create_dataset(cfg, seed: int = 0, drop_last: bool = False,
                   seed=seed, drop_last=drop_last)
 
 
-def create_split_dataset(cfg, seed: int = 0):
+def _maybe_device_cache(ds, cfg, seed, drop_last, mesh, logger):
+    """Upgrade a packed loader to the HBM-resident path (device_cache.py)
+    when --device_cache allows it. Returns None to keep streaming."""
+    mode = getattr(cfg, "device_cache", "auto")
+    if mode == "off" or not isinstance(ds, PackedDataset):
+        return None
+    log = logger.info if logger else (lambda *_: None)
+    if not ds.device_cacheable():
+        if mode == "on":
+            raise ValueError(
+                "--device_cache on: this packed store is not device-"
+                "cacheable (needs uniform item shapes; aligned/unaligned/"
+                "sa modes)")
+        return None
+    import jax
+    from gcc_tpu.data.device_cache import DeviceCacheLoader
+    from gcc_tpu.utils.memory_guard import device_hbm_bytes
+    n_bytes = ds.total_bytes()
+    if mode == "auto":
+        if jax.default_backend() == "cpu":
+            return None
+        hbm, _ = device_hbm_bytes()
+        if n_bytes > 0.25 * hbm:
+            log(f"device_cache auto: store is {n_bytes / 1e9:.2f} GB "
+                f"(> 25% of {hbm / 1e9:.1f} GB HBM); keeping the "
+                f"streaming path")
+            return None
+    import jax.numpy as jnp
+    dtype = (jnp.bfloat16 if getattr(cfg, "compute_dtype", "bfloat16")
+             == "bfloat16" and jax.default_backend() != "cpu"
+             else jnp.float32)
+    log(f"device_cache: {n_bytes / 1e6:.0f} MB packed store resident in "
+        f"device memory; batches materialize on device (zero steady-state "
+        f"host->device traffic)")
+    return DeviceCacheLoader(
+        ds, cfg.batch_size, dtype=dtype, mesh=mesh,
+        data_axis=getattr(cfg, "data_axis", "data"),
+        shuffle=not cfg.serial_batches, seed=seed, drop_last=drop_last)
+
+
+def create_split_dataset(cfg, seed: int = 0, mesh=None, logger=None):
     # drop_last keeps train batch shapes static: one compiled step, no
     # retrace on a ragged final batch (the torch loader pays that cost).
     # prefer_uint8: the train entry normalizes on device (cli/train.py
     # set_input), so packed data ships 4x fewer host->device bytes.
-    train = create_dataset(cfg, seed=seed, drop_last=cfg.batch_size > 1,
-                           prefer_uint8=True)
-    val = Loader(build_dataset(cfg, seed=seed + 1, prefer_uint8=True),
-                 cfg.batch_size, shuffle=not cfg.serial_batches,
-                 num_threads=cfg.num_threads, prefetch=cfg.prefetch,
-                 seed=seed + 1, drop_last=cfg.batch_size > 1)
-    return train, val
+    # device_cache (auto): packed stores that fit in HBM skip the host
+    # entirely (data/device_cache.py).
+    drop_last = cfg.batch_size > 1
+    loaders = []
+    for s in (seed, seed + 1):
+        ds = build_dataset(cfg, seed=s, prefer_uint8=True)
+        dl = _maybe_device_cache(ds, cfg, s, drop_last, mesh, logger)
+        loaders.append(dl if dl is not None else Loader(
+            ds, cfg.batch_size, shuffle=not cfg.serial_batches,
+            num_threads=cfg.num_threads, prefetch=cfg.prefetch,
+            seed=s, drop_last=drop_last))
+    return loaders[0], loaders[1]

@@ -342,12 +342,15 @@ class PackedDataset:
             return max(len(self._order["A"]), len(self._order["B"]))
         return len(next(iter(self._order.values())))
 
-    def __getitem__(self, index: int) -> Dict:
+    def sample_params(self, index: int) -> tuple:
+        """Draw this index's randomized transform parameters WITHOUT touching
+        pixels — same rng, same draw order as materialize()/__getitem__, so
+        host and device materialization consume identical streams. Shapes
+        come from the index rows, which mirror the stored arrays exactly."""
         cfg = self.cfg
         if self.mode == "aligned":
             j = int(self._order["A"][index])
-            a, (ow0, oh0) = self._raw("A", j)
-            b, _ = self._raw("B", j)
+            ow0, oh0 = (int(v) for v in self._idx["A"][j][4:6])
             # get_params draw order: x, y, flip (transforms.py:16-29), with
             # new_w/new_h computed from the PRE-transform size
             if cfg.preprocess == "resize_and_crop":
@@ -360,6 +363,53 @@ class PackedDataset:
             y = self.rng.randint(0, max(0, nh - cfg.crop_size) + 1)
             flip = self.rng.rand() > 0.5
             flip = flip and not cfg.no_flip
+            return (j, x, y, flip)
+
+        if self.mode == "unaligned":
+            oA, oB = self._order["A"], self._order["B"]
+            jA = int(oA[index % len(oA)])
+            if cfg.serial_batches:
+                jB = int(oB[index % len(oB)])
+            else:
+                jB = int(oB[self.rng.randint(0, len(oB))])
+            ps = []
+            for key, j in (("A", jA), ("B", jB)):
+                # apply_transform params=None draw order: x, y, then flip
+                # only when not no_flip (transforms.py:83-99), from the
+                # POST-resize dims
+                h, w = (int(v) for v in self._idx[key][j][1:3])
+                x = self.rng.randint(0, max(0, w - cfg.crop_size) + 1)
+                y = self.rng.randint(0, max(0, h - cfg.crop_size) + 1)
+                flip = (not cfg.no_flip) and self.rng.rand() > 0.5
+                ps.append((j, x, y, flip))
+            return tuple(ps)
+
+        if self.mode == "sa":
+            j = int(self._order["real"][index])
+            z = self.rng.randn(cfg.z_dim).astype(np.float32)
+            return (j, z)
+
+        # sr
+        j = int(self._order["img"][index])
+        if self._sr_split == "train":
+            h, w = (int(v) for v in self._idx["img"][j][1:3])
+            cs = int(cfg.image_size)
+            # low bound 1 as the reference (datasets.py:134-138)
+            left = self.rng.randint(1, w - cs + 1)
+            top = self.rng.randint(1, h - cs + 1)
+            return (j, left, top)
+        return (j,)
+
+    def __getitem__(self, index: int) -> Dict:
+        return self.materialize(self.sample_params(index))
+
+    def materialize(self, params: tuple) -> Dict:
+        """Host pixel path for pre-drawn params (see sample_params)."""
+        cfg = self.cfg
+        if self.mode == "aligned":
+            j, x, y, flip = params
+            a, _ = self._raw("A", j)
+            b, _ = self._raw("B", j)
             if "crop" in cfg.preprocess:
                 if a.shape[1] > cfg.crop_size or a.shape[0] > cfg.crop_size:
                     a = self._crop(a, x, y, cfg.crop_size)
@@ -370,22 +420,11 @@ class PackedDataset:
                     "A_paths": path, "B_paths": path}
 
         if self.mode == "unaligned":
-            oA, oB = self._order["A"], self._order["B"]
-            jA = int(oA[index % len(oA)])
-            if cfg.serial_batches:
-                jB = int(oB[index % len(oB)])
-            else:
-                jB = int(oB[self.rng.randint(0, len(oB))])
             out = {}
-            for key, j in (("A", jA), ("B", jB)):
+            for (key, _), (j, x, y, flip) in zip((("A", 0), ("B", 1)),
+                                                 params):
                 a, _ = self._raw(key, j)
-                # apply_transform params=None draw order: x, y, then flip
-                # only when not no_flip (transforms.py:83-99), from the
-                # POST-resize dims
                 h, w = a.shape[:2]
-                x = self.rng.randint(0, max(0, w - cfg.crop_size) + 1)
-                y = self.rng.randint(0, max(0, h - cfg.crop_size) + 1)
-                flip = (not cfg.no_flip) and self.rng.rand() > 0.5
                 if "crop" in cfg.preprocess and (w > cfg.crop_size
                                                  or h > cfg.crop_size):
                     a = self._crop(a, x, y, cfg.crop_size)
@@ -394,21 +433,18 @@ class PackedDataset:
             return out
 
         if self.mode == "sa":
-            j = int(self._order["real"][index])
+            j, z = params
             a, _ = self._raw("real", j)
-            z = self.rng.randn(cfg.z_dim).astype(np.float32)
             return {"z": z, "real_img": self._finish(a, False),
                     "img_path": self._paths["real"][j]}
 
         # sr
-        j = int(self._order["img"][index])
+        j = params[0]
         img, _ = self._raw("img", j)
         h, w = img.shape[:2]
         cs, scale = int(cfg.image_size), int(cfg.upscale_factor)
         if self._sr_split == "train":
-            # low bound 1 as the reference (datasets.py:134-138)
-            left = self.rng.randint(1, w - cs + 1)
-            top = self.rng.randint(1, h - cs + 1)
+            _, left, top = params
             hr = img[top: top + cs, left: left + cs]
         else:
             xr, yr = w % scale, h % scale
@@ -429,6 +465,63 @@ class PackedDataset:
         there is no decode to parallelize, only slicing/memcpy)."""
         from gcc_tpu.data.loader import collate
         return collate([self[int(i)] for i in indices])
+
+    # -- device-cache support (data/device_cache.py) ----------------------
+    def uniform_shapes(self) -> Optional[Dict[str, tuple]]:
+        """(h, w, c) per key iff every stored item shares one shape and the
+        blob is contiguously packed (reshapeable to (n, h, w, c))."""
+        out = {}
+        for key, idx in self._idx.items():
+            if len(idx) == 0:
+                return None
+            hwc = idx[0, 1:4]
+            if not (idx[:, 1:4] == hwc).all():
+                return None
+            size = int(hwc[0]) * int(hwc[1]) * int(hwc[2])
+            if not (idx[:, 0]
+                    == np.arange(len(idx), dtype=np.int64) * size).all():
+                return None
+            out[key] = tuple(int(v) for v in hwc)
+        return out
+
+    def device_cacheable(self) -> bool:
+        """True when the whole store can live in device HBM and the online
+        remainder (crop/flip/pairing/z) is expressible as static-shape XLA
+        ops with semantics identical to the host path."""
+        cfg = self.cfg
+        if self.mode not in ("aligned", "unaligned", "sa"):
+            return False  # sr: variable HR shapes + online PIL bicubic
+        shapes = self.uniform_shapes()
+        if shapes is None:
+            return False
+        if self.mode in ("aligned", "unaligned") and "crop" in cfg.preprocess:
+            cs = int(cfg.crop_size)
+            for key, (h, w, _) in shapes.items():
+                # host crops iff (w>cs or h>cs) and PIL-pads past the edge;
+                # the device path only covers the pure-slice case
+                if (h > cs or w > cs) and (h < cs or w < cs):
+                    return False
+            if self.mode == "aligned":
+                # one x/y pair crops BOTH sides: dims must agree, and the
+                # aligned draw comes from the PRE-transform dims, which must
+                # equal the stored dims or crops could overrun on device
+                if shapes["A"] != shapes["B"]:
+                    return False
+                h, w, _ = shapes["A"]
+                for row in self._idx["A"]:
+                    ow0, oh0 = int(row[4]), int(row[5])
+                    if cfg.preprocess == "resize_and_crop":
+                        nw = nh = cfg.load_size
+                    elif cfg.preprocess == "scale_width_and_crop":
+                        nw, nh = cfg.load_size, cfg.load_size * oh0 // ow0
+                    else:
+                        nw, nh = ow0, oh0
+                    if (nw, nh) != (w, h):
+                        return False
+        return True
+
+    def total_bytes(self) -> int:
+        return sum(int(mm.size) for mm in self._mm.values())
 
 
 # --------------------------------------------------------------------------
