@@ -8,12 +8,21 @@ Reverse (--reverse): exports a GCC-TPU checkpoint back to the reference's
 .pth container (gcc_tpu.utils.torch_export), so models trained here can be
 evaluated/served with the reference's own tooling.
 
+Evaluator ingestion (--evaluator): validates a user-supplied pretrained
+evaluator .pth (TF-FID InceptionV3 / DRN-D-105 / torchvision VGG19 — the
+weights the no-egress environment cannot download), runs the forward-parity
+self-check against the from-spec torch oracle, and emits the native .npz
+for --inception_path/--drn_path/--vgg_path (gcc_tpu.metrics.ingest).
+
 Usage:
   python -m gcc_tpu.cli.convert --model pix2pix \
       --pretrain_path /path/model_best_BtoA.pth --output converted.ckpt
   python -m gcc_tpu.cli.convert --model pix2pix --reverse \
       --pretrain_path experiments/run/checkpoints/model_best_BtoA.ckpt \
       --output model_best_BtoA.pth
+  python -m gcc_tpu.cli.convert --evaluator inception \
+      --pretrain_path pt_inception-2015-12-05-6726825d.pth \
+      --output inception.npz
 """
 
 from __future__ import annotations
@@ -88,14 +97,34 @@ def convert_reverse(model: str, in_path: str, out_path: str,
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--model", required=True)
+    p.add_argument("--model", default=None)
     p.add_argument("--pretrain_path", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--num_downs", type=int, default=8)
     p.add_argument("--n_blocks", type=int, default=9)
     p.add_argument("--reverse", action="store_true",
                    help="export a GCC-TPU ckpt to the reference .pth format")
+    p.add_argument("--evaluator", default=None,
+                   choices=["inception", "drn", "vgg"],
+                   help="ingest a pretrained evaluator .pth: validate keys/"
+                        "shapes, self-check forward parity, emit native .npz")
+    p.add_argument("--drn_layers", default=None,
+                   help="comma DRN layer counts (default 1,1,3,4,23,3,1,1)")
+    p.add_argument("--no_parity_check", action="store_true",
+                   help="skip the torch-oracle forward self-check")
     a = p.parse_args(argv)
+    if a.evaluator:
+        import json
+        from gcc_tpu.metrics.ingest import ingest_evaluator
+        layers = ([int(v) for v in a.drn_layers.split(",")]
+                  if a.drn_layers else None)
+        report = ingest_evaluator(a.evaluator, a.pretrain_path, a.output,
+                                  layers=layers,
+                                  parity=not a.no_parity_check)
+        print(json.dumps(report))
+        return 0
+    if not a.model:
+        p.error("--model is required (unless --evaluator is used)")
     fn = convert_reverse if a.reverse else convert
     fn(a.model, a.pretrain_path, a.output, a.num_downs, a.n_blocks)
     print(f"converted {a.pretrain_path} -> {a.output}")

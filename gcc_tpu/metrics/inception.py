@@ -190,9 +190,12 @@ class FIDInceptionV3(nn.Module):
         return jnp.mean(x, axis=(1, 2))  # global average pool -> 2048
 
 
-def load_torch_fid_inception(path: str) -> dict:
-    """Port the pt_inception state_dict (or an .npz of it) to Flax params."""
-    if path.endswith(".npz"):
+def load_torch_fid_inception(path) -> dict:
+    """Port the pt_inception state_dict (an .npz of it, or an in-memory
+    {key: ndarray} mapping) to Flax params."""
+    if isinstance(path, dict):
+        sd = path
+    elif path.endswith(".npz"):
         sd = dict(np.load(path))
     else:
         import torch

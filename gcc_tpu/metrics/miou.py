@@ -186,10 +186,13 @@ def miou_from_hist(hist: np.ndarray) -> float:
 # Weight porting + full evaluation
 # ---------------------------------------------------------------------------
 
-def load_torch_drnseg(path: str,
+def load_torch_drnseg(path,
                       layers: Sequence[int] = DRN_D_105_LAYERS) -> dict:
-    """Port a torch DRNSeg state_dict (--drn_path) to this module's params."""
-    if path.endswith(".npz"):
+    """Port a torch DRNSeg state_dict (--drn_path: .pth, an .npz of it, or
+    an in-memory {key: ndarray} mapping) to this module's params."""
+    if isinstance(path, dict):
+        sd = dict(path)
+    elif path.endswith(".npz"):
         sd = dict(np.load(path))
     else:
         import torch

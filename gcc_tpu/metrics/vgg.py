@@ -40,9 +40,12 @@ class TruncatedVGG19(nn.Module):
         return h
 
 
-def load_torch_vgg19(path: str) -> dict:
-    """Port a torchvision vgg19 state_dict to this module's param tree."""
-    if path.endswith(".npz"):
+def load_torch_vgg19(path) -> dict:
+    """Port a torchvision vgg19 state_dict (.pth, an .npz of it, or an
+    in-memory {key: ndarray} mapping) to this module's param tree."""
+    if isinstance(path, dict):
+        sd = path
+    elif path.endswith(".npz"):
         sd = dict(np.load(path))
     else:
         import torch
