@@ -188,3 +188,34 @@ def test_epoch_keyed_shuffle_matches_host(tmp_path):
         lh.set_epoch(ep)
         ld.set_epoch(ep)
         _assert_batches_eq(list(lh), list(ld))
+
+
+@pytest.mark.slow
+def test_cli_train_with_device_cache(tmp_path):
+    """cli.train end-to-end with --device_cache on: loaders come from the
+    HBM-resident path (forced on CPU), batches reach the engine as device
+    arrays through set_input, training + eval + checkpointing all work."""
+    from gcc_tpu.cli.train import main as train_main
+    root = str(tmp_path / "src")
+    _imgs(os.path.join(root, "train"), 8, 64, 32)
+    _imgs(os.path.join(root, "val"), 2, 64, 32)
+    cfg = Config(dataroot=root, phase="train", dataset_mode="aligned",
+                 load_size=32, crop_size=32, no_flip=True,
+                 preprocess="resize_and_crop")
+    packed = pack_dataset(cfg, num_threads=1)
+    pack_dataset(cfg.replace(phase="val", load_size=256), num_threads=1)
+    exp = str(tmp_path / "experiments")
+    args = (f"--dataroot {packed} --dataset_mode aligned --model pix2pix "
+            f"--ngf 4 --ndf 4 --teacher_ngf 8 --teacher_ndf 8 "
+            f"--num_downs 5 --crop_size 32 --load_size 32 --batch_size 4 "
+            f"--n_epochs 1 --n_epochs_decay 0 --print_freq 100 "
+            f"--online_distillation --darts_discriminator "
+            f"--lambda_content 50 --lambda_gram 1e4 --name dc "
+            f"--checkpoints_dir {exp} --save_epoch_freq 1 --ntest 2 "
+            f"--device_cache on").split()
+    assert train_main(args) == 0
+    with open(os.path.join(exp, "dc", "logger.log")) as f:
+        log = f.read()
+    assert "device_cache:" in log and "resident in device memory" in log
+    assert os.path.exists(os.path.join(exp, "dc", "checkpoints",
+                                       "model_best_AtoB.ckpt"))
