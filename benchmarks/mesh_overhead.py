@@ -163,7 +163,9 @@ def part2_virtual_mesh(args) -> dict:
     total_ar = sum(a["bytes"] for a in ars)
     big = [a for a in ars if a["bytes"] >= 1 << 16]
     small = [a for a in ars if a["bytes"] < 1 << 16]
+    top = sorted(ars, key=lambda a: -a["bytes"])[:12]
     return {
+        "top_all_reduces": top,
         "devices": 8,
         "all_reduce_count": len(ars),
         "all_reduce_bytes_per_step": total_ar,
