@@ -114,7 +114,8 @@ def seed_tables():
         print(f"{'metric':<16}" + "".join(f"{'s' + str(s) + ' gcc':>11}"
                                           f"{'s' + str(s) + ' plain':>11}"
                                           for s in sorted(by_seed)))
-        wins = defaultdict(int)
+        gcc_n = defaultdict(int)
+        plain_n = defaultdict(int)
         for m in metrics:
             line = f"{m:<16}"
             for s in sorted(by_seed):
@@ -123,22 +124,30 @@ def seed_tables():
                 g, pl = bv.get("gcc", {}).get(m), bv.get("plain", {}).get(m)
                 line += f"{g:>11}{pl:>11}"
                 if g is not None and pl is not None and g != pl:
-                    wins[m] += 1 if better(m)(g, pl) == g else -1
+                    if better(m)(g, pl) == g:
+                        gcc_n[m] += 1
+                    else:
+                        plain_n[m] += 1
             print(line)
         verdicts = []
+        wins = {}
         for m in metrics:
             n = len(by_seed)
-            w = wins[m]
-            tag = ("gcc" if w == n else "plain" if w == -n
-                   else f"mixed({w:+d})")
+            w = wins[m] = gcc_n[m] - plain_n[m]
+            tag = (f"gcc {gcc_n[m]}/{n}" if w == n
+                   else f"plain {plain_n[m]}/{n}" if w == -n
+                   else f"mixed(gcc {gcc_n[m]}/{n})")
             verdicts.append(f"{m}:{tag}")
-        n_gcc = sum(1 for v in verdicts if v.endswith(":gcc"))
-        n_plain = sum(1 for v in verdicts if v.endswith(":plain"))
+        n_gcc = sum(1 for m in metrics if wins[m] == len(by_seed))
+        n_plain = sum(1 for m in metrics if wins[m] == -len(by_seed))
         concl = ("GCC wins" if n_gcc > n_plain + len(metrics) // 3
                  else "plain wins" if n_plain > n_gcc + len(metrics) // 3
                  else "parity")
+        tot_g, tot_p = sum(gcc_n.values()), sum(plain_n.values())
         print(f"conclusion[{fam}/{task}/{ep}ep]: {concl}  "
               f"(" + ", ".join(verdicts) + ")")
+        print(f"  seed-metric tally: gcc ahead {tot_g}/{tot_g + tot_p} "
+              f"best-checkpoint comparisons")
 
 
 def main():
