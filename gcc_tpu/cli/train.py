@@ -243,6 +243,25 @@ def run(cfg) -> int:
                 f"{len(train_loader.dataset)}")
     logger.info(f"mesh: {mesh.shape}")
 
+    # Device-cache fused step: when the loaders are HBM-resident
+    # (DeviceCacheLoader), trace their batch materializers INTO the
+    # cooperative step — one dispatch + one packed param upload per
+    # iteration instead of two materializer dispatches plus the step
+    # (data/device_cache.py:FusedCachedStep).
+    darts_mode = (cfg.darts_discriminator and engine.distill
+                  and not cfg.generator_only)
+    from gcc_tpu.data.device_cache import (DeviceCacheLoader,
+                                           FusedCachedStep, InfiniteParams)
+    fused = None
+    if isinstance(train_loader, DeviceCacheLoader) and (
+            not darts_mode or isinstance(val_loader, DeviceCacheLoader)):
+        fused = FusedCachedStep(engine, train_loader,
+                                val_loader if darts_mode else None,
+                                swap_ab=cfg.direction == "BtoA")
+        logger.info("device_cache: fused materialize+train"
+                    + ("+arch" if darts_mode else "")
+                    + " step (one dispatch per iteration)")
+
     total_epochs = cfg.n_epochs + cfg.n_epochs_decay
     total_iters = 0
     current_perf = None
@@ -274,7 +293,9 @@ def run(cfg) -> int:
         # fresh DARTS val iterator each epoch, as the reference does
         # (train.py:131); InfiniteLoader still cycles if val is smaller
         # than train
-        val_stream = InfiniteLoader(val_loader)
+        val_stream = (InfiniteParams(val_loader)
+                      if fused is not None and darts_mode
+                      else InfiniteLoader(val_loader))
         lr = plateau.lr if plateau else lr_for_epoch(cfg, epoch)
         ema_beta = ema_beta_for_epoch(cfg, epoch)
         arch_lr = cfg.arch_lr
@@ -295,12 +316,44 @@ def run(cfg) -> int:
                     "step", max(epoch - cfg.epoch_count, 0),
                     lr_decay_iters=decay_iters)
 
-        for i, data in enumerate(train_loader):
+        batch_iter = (train_loader.iter_param_batches()
+                      if fused is not None else train_loader)
+        for i, data in enumerate(batch_iter):
             iter_start = time.time()
-            batch = set_input(cfg, data)
-            batch = shard_batch(batch, mesh)
-            if cfg.darts_discriminator and engine.distill \
-                    and not cfg.generator_only:
+            if fused is not None:
+                # device-cache fused path: ship only the packed transform
+                # params; materialize+train(+arch) is ONE compiled program
+                targs, _ = data
+                if darts_mode:
+                    vargs, _ = next(val_stream)
+                    if guard_pending:
+                        guard_pending = False
+                        from gcc_tpu.utils.memory_guard import check_step
+                        import jax.numpy as jnp
+                        check_step(fused.jit,
+                                   (state, train_loader._data,
+                                    val_loader._data, targs, vargs,
+                                    jnp.float32(lr), jnp.float32(ema_beta),
+                                    jnp.float32(arch_lr)),
+                                   batch_argnums=(3, 4),
+                                   batch_size=cfg.batch_size, logger=logger,
+                                   strict=cfg.memory_guard == "strict")
+                    state, losses = fused.train_arch_step(
+                        state, targs, vargs, lr, ema_beta, arch_lr)
+                else:
+                    if guard_pending:
+                        guard_pending = False
+                        from gcc_tpu.utils.memory_guard import check_step
+                        import jax.numpy as jnp
+                        check_step(fused.jit,
+                                   (state, train_loader._data, targs,
+                                    jnp.float32(lr)),
+                                   batch_argnums=(2,),
+                                   batch_size=cfg.batch_size, logger=logger,
+                                   strict=cfg.memory_guard == "strict")
+                    state, losses = fused.train_step(state, targs, lr)
+            elif darts_mode:
+                batch = shard_batch(set_input(cfg, data), mesh)
                 # one fused program per iteration (train + arch on val batch)
                 val_batch = shard_batch(set_input(cfg, next(val_stream)),
                                         mesh)
@@ -317,6 +370,7 @@ def run(cfg) -> int:
                 state, losses = engine.train_arch_step(
                     state, batch, val_batch, lr, ema_beta, arch_lr)
             else:
+                batch = shard_batch(set_input(cfg, data), mesh)
                 if guard_pending:
                     guard_pending = False
                     from gcc_tpu.utils.memory_guard import check_step

@@ -9,6 +9,18 @@ batches entirely on device: the host draws only the randomized transform
 parameters (indices / crop offsets / flip bits — a few KB), and one jitted
 program does gather -> crop (dynamic_slice) -> flip -> normalize -> cast.
 
+Two consumption modes:
+
+- **DeviceCacheLoader** iterates device batches: per batch, ONE packed
+  int32 parameter upload + ONE materializer dispatch. (Round trips, not
+  bytes, are the cost on link-latency-bound hosts — the packed matrix
+  replaces what used to be four separate index/offset/flip uploads.)
+- **FusedCachedStep** goes further for training: the materializers for the
+  train batch AND the DARTS val batch are traced INTO the engine's
+  cooperative step, so a full GCC iteration is ONE dispatch with one small
+  host->device parameter transfer (benchmarks/device_cache_overhead.py
+  measures the per-round-trip cost this removes).
+
 Numerics match the host path: the same LockedRandomState stream drives both
 (PackedDataset.sample_params), and the normalize math is device_normalize's
 (x/255*2-1, imagenet for 'lr') — float32-exact vs the host formula.
@@ -24,7 +36,7 @@ torch DataLoader + .cuda() copies every iteration (train.py:135-146).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -95,17 +107,56 @@ class DeviceCacheLoader(Loader):
             self._data[key] = cached
         self._fns: Dict = {}
 
-    # -- jitted materializers (keyed by batch size) ------------------------
-    def _fn(self, n: int):
+    # -- packed transform parameters ---------------------------------------
+    def param_batch(self, idx_batch) -> Tuple[tuple, Dict]:
+        """Draw the batch's randomized transform parameters as ONE packed
+        int32 matrix (plus the float32 z for sa) and the host-side paths.
+
+        Returns (device_args, paths): device_args feeds traced_fn()/the
+        per-batch jit as a single small transfer — on link-latency-bound
+        hosts the per-transfer round trip, not the bytes, is the cost, so
+        the matrix replaces the four (eight for unaligned) per-batch
+        uploads the first version of this loader shipped."""
+        ds = self.dataset
+        params = [ds.sample_params(int(i)) for i in idx_batch]
+        if ds.mode == "aligned":
+            pm = np.array([(j, x, y, int(f)) for j, x, y, f in params],
+                          np.int32).reshape(len(params), 4)
+            paths = [ds._paths["A"][int(r)] for r in pm[:, 0]]
+            return (pm,), {"A_paths": paths, "B_paths": list(paths)}
+        if ds.mode == "unaligned":
+            pm = np.array([(*a[:3], int(a[3]), *b[:3], int(b[3]))
+                           for a, b in params],
+                          np.int32).reshape(len(params), 8)
+            return (pm,), {
+                "A_paths": [ds._paths["A"][int(r)] for r in pm[:, 0]],
+                "B_paths": [ds._paths["B"][int(r)] for r in pm[:, 4]]}
+        # sa
+        pm = np.array([(p[0],) for p in params], np.int32)
+        z = np.stack([p[1] for p in params]).astype(np.float32)
+        return (pm, z), {"img_path": [ds._paths["real"][int(r)]
+                                      for r in pm[:, 0]]}
+
+    # -- pure materializer ---------------------------------------------------
+    def traced_fn(self):
+        """Pure function (data_dict, pm[, z]) -> engine batch dict.
+
+        Traceable inside a larger jit (FusedCachedStep) or jitted alone
+        (_fn). When the loader has a mesh, outputs carry a
+        with_sharding_constraint on the data axis so XLA SPMD reads shards
+        over ICI."""
         import jax
         import jax.numpy as jnp
-        from functools import partial
-        if n in self._fns:
-            return self._fns[n]
         ds, cfg = self.dataset, self.dataset.cfg
-        cs, dtype = int(cfg.crop_size), self.dtype
-        mode = ds.mode
+        cs, dtype, mode = int(cfg.crop_size), self.dtype, ds.mode
         shapes = ds.uniform_shapes()
+        constraint = self._out_sharding
+
+        def finish(b):
+            if constraint is None:
+                return b
+            return {k: jax.lax.with_sharding_constraint(v, constraint)
+                    for k, v in b.items()}
 
         def crop_flip(data, j, x, y, flip, do_crop):
             img = data[j]  # (n, h, w, c) gather
@@ -118,62 +169,134 @@ class DeviceCacheLoader(Loader):
             h, w, _ = shapes["A"]
             do_crop = "crop" in cfg.preprocess and (h > cs or w > cs)
 
-            def fn(dA, dB, j, x, y, flip):
-                return {"A": _normalize(crop_flip(dA, j, x, y, flip,
-                                                  do_crop), "m11", dtype),
-                        "B": _normalize(crop_flip(dB, j, x, y, flip,
-                                                  do_crop), "m11", dtype)}
+            def fn(data, pm):
+                j, x, y = pm[:, 0], pm[:, 1], pm[:, 2]
+                flip = pm[:, 3].astype(bool)
+                return finish({
+                    "A": _normalize(crop_flip(data["A"], j, x, y, flip,
+                                              do_crop), "m11", dtype),
+                    "B": _normalize(crop_flip(data["B"], j, x, y, flip,
+                                              do_crop), "m11", dtype)})
         elif mode == "unaligned":
             do = {k: "crop" in cfg.preprocess
                   and (shapes[k][0] > cs or shapes[k][1] > cs)
                   for k in ("A", "B")}
 
-            def fn(dA, dB, jA, xA, yA, fA, jB, xB, yB, fB):
-                return {"A": _normalize(crop_flip(dA, jA, xA, yA, fA,
-                                                  do["A"]), "m11", dtype),
-                        "B": _normalize(crop_flip(dB, jB, xB, yB, fB,
-                                                  do["B"]), "m11", dtype)}
+            def fn(data, pm):
+                fA, fB = pm[:, 3].astype(bool), pm[:, 7].astype(bool)
+                return finish({
+                    "A": _normalize(crop_flip(data["A"], pm[:, 0], pm[:, 1],
+                                              pm[:, 2], fA, do["A"]),
+                                    "m11", dtype),
+                    "B": _normalize(crop_flip(data["B"], pm[:, 4], pm[:, 5],
+                                              pm[:, 6], fB, do["B"]),
+                                    "m11", dtype)})
         else:  # sa
 
-            def fn(dR, j, z):
-                return {"real_img": _normalize(dR[j], "m11", dtype),
-                        "z": z}
+            def fn(data, pm, z):
+                return finish({
+                    "real_img": _normalize(data["real"][pm[:, 0]],
+                                           "m11", dtype),
+                    "z": z})
+        return fn
 
-        jfn = (jax.jit(fn) if self._out_sharding is None
-               else jax.jit(fn, out_shardings=self._out_sharding))
-        self._fns[n] = jfn
-        return jfn
+    def _fn(self, n: int):
+        """Jitted standalone materializer, cached per batch size."""
+        import jax
+        if n not in self._fns:
+            self._fns[n] = jax.jit(self.traced_fn())
+        return self._fns[n]
 
     def _device_batch(self, idx_batch) -> Dict:
-        import jax.numpy as jnp
-        ds = self.dataset
-        params = [ds.sample_params(int(i)) for i in idx_batch]
-        n = len(params)
-        i32 = lambda v: jnp.asarray(np.asarray(v, np.int32))  # noqa: E731
-        b1 = lambda v: jnp.asarray(np.asarray(v, bool))  # noqa: E731
-        if ds.mode == "aligned":
-            j, x, y, flip = (np.array(t) for t in zip(*params))
-            out = self._fn(n)(self._data["A"], self._data["B"],
-                              i32(j), i32(x), i32(y), b1(flip))
-            paths = [ds._paths["A"][int(v)] for v in j]
-            out["A_paths"], out["B_paths"] = paths, list(paths)
-        elif ds.mode == "unaligned":
-            pA = np.array([p[0] for p in params])
-            pB = np.array([p[1] for p in params])
-            out = self._fn(n)(self._data["A"], self._data["B"],
-                              i32(pA[:, 0]), i32(pA[:, 1]), i32(pA[:, 2]),
-                              b1(pA[:, 3]),
-                              i32(pB[:, 0]), i32(pB[:, 1]), i32(pB[:, 2]),
-                              b1(pB[:, 3]))
-            out["A_paths"] = [ds._paths["A"][int(v)] for v in pA[:, 0]]
-            out["B_paths"] = [ds._paths["B"][int(v)] for v in pB[:, 0]]
-        else:  # sa
-            j = np.array([p[0] for p in params])
-            z = jnp.asarray(np.stack([p[1] for p in params]))
-            out = self._fn(n)(self._data["real"], i32(j), z)
-            out["img_path"] = [ds._paths["real"][int(v)] for v in j]
+        dargs, paths = self.param_batch(idx_batch)
+        out = dict(self._fn(len(idx_batch))(self._data, *dargs))
+        out.update(paths)
         return out
 
     def __iter__(self):
         for b in self._index_batches():
             yield self._device_batch(b)
+
+    def iter_param_batches(self):
+        """Epoch stream of (device_args, paths) — the FusedCachedStep input
+        (same shuffle/rng stream as __iter__, no materializer dispatch)."""
+        for b in self._index_batches():
+            yield self.param_batch(b)
+
+
+class InfiniteParams:
+    """Endless param-batch stream over a DeviceCacheLoader (the fused-path
+    analogue of loader.InfiniteLoader for the DARTS val stream)."""
+
+    def __init__(self, loader: DeviceCacheLoader):
+        self.loader = loader
+        self._it = loader.iter_param_batches()
+
+    def __next__(self):
+        try:
+            return next(self._it)
+        except StopIteration:
+            self._it = self.loader.iter_param_batches()
+            return next(self._it)
+
+
+class FusedCachedStep:
+    """ONE dispatch per training iteration from HBM-resident data.
+
+    Traces the device-cache materializers for the train batch (and, with a
+    val loader, the DARTS val batch) INTO the engine's cooperative step:
+    per iteration the host ships one packed int32 parameter matrix per
+    stream and issues a single compiled program that gathers/crops/flips/
+    normalizes both batches and runs train(+arch). Versus the unfused
+    device-cache path this removes two materializer dispatches and their
+    output round trips per iteration — decisive on dispatch-latency-bound
+    links (benchmarks/device_cache_overhead.py), free elsewhere.
+
+    Numerics are IDENTICAL to the unfused path (same traced materializer,
+    same engine step; tests/test_device_cache.py pins fused == unfused
+    state bitwise on CPU).
+
+    The reference runs loader -> .cuda() copies -> model.optimize_parameters
+    as separate host-driven phases every iteration (train.py:135-151).
+    """
+
+    def __init__(self, engine, train_loader: DeviceCacheLoader,
+                 val_loader: Optional[DeviceCacheLoader] = None,
+                 swap_ab: bool = False):
+        import jax
+        import jax.numpy as jnp
+        self.engine = engine
+        self.tl, self.vl = train_loader, val_loader
+        self._jnp = jnp
+        mat_t = train_loader.traced_fn()
+        mat_v = val_loader.traced_fn() if val_loader is not None else None
+
+        def _swap(b):
+            # --direction BtoA (cli.train set_input; models/Pix2Pix.py:453)
+            if swap_ab and "A" in b:
+                b = dict(b)
+                b["A"], b["B"] = b["B"], b["A"]
+            return b
+
+        if val_loader is not None:
+            def fused(state, tdata, vdata, targs, vargs, lr, ema_beta,
+                      arch_lr):
+                state, m = engine._train_step(
+                    state, _swap(mat_t(tdata, *targs)), lr)
+                state, am = engine._arch_step(
+                    state, _swap(mat_v(vdata, *vargs)), ema_beta, arch_lr)
+                return state, {**m, **am}
+        else:
+            def fused(state, tdata, targs, lr):
+                return engine._train_step(
+                    state, _swap(mat_t(tdata, *targs)), lr)
+        self.jit = jax.jit(fused, donate_argnums=0)
+
+    def train_arch_step(self, state, targs, vargs, lr, ema_beta, arch_lr):
+        jnp = self._jnp
+        return self.jit(state, self.tl._data, self.vl._data, targs, vargs,
+                        jnp.float32(lr), jnp.float32(ema_beta),
+                        jnp.float32(arch_lr))
+
+    def train_step(self, state, targs, lr):
+        return self.jit(state, self.tl._data, targs, self._jnp.float32(lr))

@@ -190,6 +190,118 @@ def test_epoch_keyed_shuffle_matches_host(tmp_path):
         _assert_batches_eq(list(lh), list(ld))
 
 
+def _tiny_engine():
+    from gcc_tpu.engines.pix2pix import Pix2PixEngine
+    cfg = Config(model="pix2pix", ngf=4, ndf=4, teacher_ngf=8, teacher_ndf=8,
+                 num_downs=5, crop_size=32, load_size=32, batch_size=2,
+                 lambda_L1=100.0, gan_mode="hinge", online_distillation=True,
+                 darts_discriminator=True, lambda_content=50.0,
+                 lambda_gram=1e4, lr=2e-4, arch_lr=1e-4)
+    return Pix2PixEngine(cfg)
+
+
+def test_fused_step_matches_unfused(tmp_path):
+    """FusedCachedStep (materialize traced into the cooperative step, one
+    dispatch per iteration) must produce the same training trajectory as
+    the unfused device-cache path (materialize dispatch -> step dispatch):
+    same loader rng stream, same pixels, same engine math."""
+    from gcc_tpu.data.device_cache import FusedCachedStep, InfiniteParams
+
+    root = str(tmp_path / "ab")
+    _imgs(os.path.join(root, "train"), 8, 94, 32)
+    dcfg = Config(dataroot=root, phase="train", dataset_mode="aligned",
+                  load_size=32, crop_size=32, batch_size=2, no_flip=False,
+                  preprocess="resize_and_crop",
+                  max_dataset_size=float("inf"), serial_batches=False)
+    packed = pack_dataset(dcfg, num_threads=1)
+    dcfg = dcfg.replace(dataroot=packed)
+
+    engine = _tiny_engine()
+    state0 = engine.init_state(jax.random.PRNGKey(0), image_size=32)
+
+    def loaders():
+        return (DeviceCacheLoader(PackedDataset(dcfg, seed=0,
+                                                out_dtype="uint8"), 2,
+                                  dtype=jnp.float32, seed=0),
+                DeviceCacheLoader(PackedDataset(dcfg, seed=1,
+                                                out_dtype="uint8"), 2,
+                                  dtype=jnp.float32, seed=1))
+
+    # unfused: materializer dispatch per batch, then the combined step
+    tl, vl = loaders()
+    vstream = iter(vl)
+    state = jax.tree_util.tree_map(jnp.copy, state0)
+    ref_losses = []
+    for i, b in enumerate(iter(tl)):
+        if i == 3:
+            break
+        batch = {k: v for k, v in b.items() if not k.endswith("_paths")}
+        vb = next(vstream)
+        val = {k: v for k, v in vb.items() if not k.endswith("_paths")}
+        state, m = engine.train_arch_step(state, batch, val, 2e-4, 0.9, 1e-4)
+        ref_losses.append({k: float(v) for k, v in m.items()})
+    ref_state = state
+
+    # fused: one program per iteration from the packed param matrices
+    tl2, vl2 = loaders()
+    fused = FusedCachedStep(engine, tl2, vl2)
+    vparams = InfiniteParams(vl2)
+    state = jax.tree_util.tree_map(jnp.copy, state0)
+    for i, (targs, paths) in enumerate(tl2.iter_param_batches()):
+        if i == 3:
+            break
+        assert set(paths) == {"A_paths", "B_paths"}
+        vargs, _ = next(vparams)
+        state, m = fused.train_arch_step(state, targs, vargs,
+                                         2e-4, 0.9, 1e-4)
+        for k, v in m.items():
+            np.testing.assert_allclose(float(v), ref_losses[i][k],
+                                       rtol=2e-5, atol=1e-6, err_msg=k)
+
+    for rp, fp in zip(jax.tree_util.tree_leaves(ref_state.nets),
+                      jax.tree_util.tree_leaves(state.nets)):
+        np.testing.assert_allclose(np.asarray(fp), np.asarray(rp),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_fused_train_only_swap_ab(tmp_path):
+    """Non-darts fused path + --direction BtoA: the in-program swap must
+    match set_input's host-side swap (cli/train.py:set_input)."""
+    from gcc_tpu.data.device_cache import FusedCachedStep
+
+    root = str(tmp_path / "ab")
+    _imgs(os.path.join(root, "train"), 4, 94, 32)
+    dcfg = Config(dataroot=root, phase="train", dataset_mode="aligned",
+                  load_size=32, crop_size=32, batch_size=2, no_flip=True,
+                  preprocess="resize_and_crop",
+                  max_dataset_size=float("inf"), serial_batches=True)
+    packed = pack_dataset(dcfg, num_threads=1)
+    dcfg = dcfg.replace(dataroot=packed)
+
+    from gcc_tpu.engines.pix2pix import Pix2PixEngine
+    cfg = Config(model="pix2pix", ngf=4, ndf=4, num_downs=5, crop_size=32,
+                 batch_size=2, lambda_L1=100.0, gan_mode="hinge", lr=2e-4)
+    engine = Pix2PixEngine(cfg)
+    state0 = engine.init_state(jax.random.PRNGKey(1), image_size=32)
+
+    tl = DeviceCacheLoader(PackedDataset(dcfg, seed=0, out_dtype="uint8"),
+                           2, dtype=jnp.float32, seed=0, shuffle=False)
+    b = next(iter(tl))
+    swapped = {"A": b["B"], "B": b["A"]}
+    state = jax.tree_util.tree_map(jnp.copy, state0)
+    state, m_ref = engine.train_step(state, swapped, 2e-4)
+
+    tl2 = DeviceCacheLoader(PackedDataset(dcfg, seed=0, out_dtype="uint8"),
+                            2, dtype=jnp.float32, seed=0, shuffle=False)
+    fused = FusedCachedStep(engine, tl2, swap_ab=True)
+    targs, _ = next(tl2.iter_param_batches())
+    state2 = jax.tree_util.tree_map(jnp.copy, state0)
+    state2, m = fused.train_step(state2, targs, 2e-4)
+    for k in m_ref:
+        np.testing.assert_allclose(float(m[k]), float(m_ref[k]),
+                                   rtol=2e-5, atol=1e-6, err_msg=k)
+
+
 @pytest.mark.slow
 def test_cli_train_with_device_cache(tmp_path):
     """cli.train end-to-end with --device_cache on: loaders come from the
