@@ -149,6 +149,7 @@ class Config:
     memory_guard: str = "auto"  # auto|on|strict|off: project the step's HBM peak before the first iteration (utils/memory_guard.py); auto skips CPU, strict aborts on projected OOM
     prefetch: int = 2  # host->device pipeline depth
     device_cache: str = "auto"  # auto|on|off: keep packed datasets resident in device HBM (data/device_cache.py); auto caches stores <= 25% of HBM on non-CPU backends
+    eval_batch: int = 1  # generator batch for epoch-end eval; 1 = reference bs=1 protocol (metric/test_metric.py:16-21). >1 batches the eval forwards (same outputs: eval mode has no dropout and uses running BN stats; order/cap preserved) — big win on dispatch-latency-bound hosts. SRGAN's variable-shape test sets always run per-image.
     pack_output: str = ""  # cli.prepare output dir ("" => <dataroot>_packed)
     vgg_path: Optional[str] = None  # torch VGG19 state_dict for SRGAN perceptual loss
     inception_path: Optional[str] = None  # FID InceptionV3 weights

@@ -27,7 +27,11 @@ from gcc_tpu.metrics.psnr_ssim import psnr_y, ssim_y
 
 
 def eval_cfg(cfg, **overrides):
-    base = dict(batch_size=1, serial_batches=True, no_flip=True,
+    # --eval_batch >1 batches the generator forwards; outputs are the
+    # bs=1 protocol's (eval mode: no dropout, running BN stats, per-sample
+    # IN), order and ntest cap preserved (_collect trims the final batch)
+    base = dict(batch_size=max(1, int(getattr(cfg, "eval_batch", 1))),
+                serial_batches=True, no_flip=True,
                 phase="val" if cfg.dataset_mode != "synthetic" else cfg.phase)
     base.update(overrides)
     try:
@@ -95,9 +99,11 @@ def _collect(cfg, engine, state, loader, key_in: str, key_out: str,
         n += x.shape[0]
         if max_items is not None and n >= max_items:
             break
-    return (np.concatenate(fakes),
-            np.concatenate(reals) if reals else None,
-            np.concatenate(inputs))
+    # trim to the cap: with --eval_batch >1 the last batch can overshoot
+    m = max_items if max_items is not None else n
+    return (np.concatenate(fakes)[:m],
+            np.concatenate(reals)[:m] if reals else None,
+            np.concatenate(inputs)[:m])
 
 
 def evaluate_engine(cfg, engine, state, logger, epoch):

@@ -49,6 +49,24 @@ def test_evaluate_pix2pix_synthetic_proxy():
     assert np.isfinite(fid) and fid > 0
 
 
+def test_eval_batch_matches_bs1_protocol():
+    """--eval_batch >1 batches the generator forwards; the metric must be
+    the bs=1 protocol's (eval mode is deterministic per-sample: running BN
+    stats, no dropout) with the ntest cap and order preserved."""
+    from gcc_tpu.engines.pix2pix import Pix2PixEngine
+    cfg = Config(model="pix2pix", dataset_mode="synthetic", dataroot="synth",
+                 ngf=4, ndf=4, num_downs=5, crop_size=32, load_size=32,
+                 ntest=8, num_threads=1)
+    eng = Pix2PixEngine(cfg)
+    state = eng.init_state(K)
+    log = logging.getLogger(__name__)
+    fid1 = evaluate_engine(cfg, eng, state, log, 1)
+    # batch 3 does not divide the cap 8: exercises the overshoot trim
+    fid3 = evaluate_engine(cfg.replace(eval_batch=3), eng, state, log, 1)
+    np.testing.assert_allclose(fid3, fid1, rtol=1e-4)
+    assert eval_cfg(cfg.replace(eval_batch=3)).batch_size == 3
+
+
 def test_evaluate_srgan_returns_named_metrics():
     from gcc_tpu.engines.srgan import SRGANEngine
     cfg = Config(model="srgan", dataset_mode="synthetic", dataroot="",
