@@ -6,6 +6,11 @@ through ONLY the jax.export surface (no engine, no flax apply) — runs it on
 the chip and checks it against engine.generate. Records artifact size and
 a small chained-dispatch throughput number for the artifact path.
 
+Also exports the int8 weight-only variant (--quantize int8 in cli.export:
+per-output-channel int8 kernels + scales baked in, dequantized inside the
+artifact) and records its size ratio, output PSNR vs the engine, and the
+same throughput number on the chip.
+
 Run: python benchmarks/serving_export_demo.py
 Writes benchmarks/serving_export_result.json.
 """
@@ -62,6 +67,28 @@ def main():
         times.append(time.perf_counter() - t0)
     ips = batch * 10 / min(times)
 
+    # int8 weight-only variant through the same export-only surface
+    exp_q = hx.export_generator(eng, state, (1, 256, 256, 3),
+                                platforms=("cpu", "tpu"),
+                                dtype=jnp.bfloat16, weight_quant="int8")
+    data_q = bytes(exp_q.serialize())
+    gq = jexport.deserialize(bytearray(data_q))
+    call_q = jax.jit(gq.call)
+    yq = call_q(x)
+    _ = float(yq.reshape(-1)[0])
+    diff = yq.astype(jnp.float32) - ref.astype(jnp.float32)
+    err_q = float(jnp.abs(diff).max())
+    mse_q = float(jnp.mean(diff * diff))
+    psnr_q = round(10 * float(np.log10(4.0 / mse_q)), 1) if mse_q else None
+    times_q = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            yq = call_q(x)
+        _ = float(yq.reshape(-1)[0])
+        times_q.append(time.perf_counter() - t0)
+    ips_q = batch * 10 / min(times_q)
+
     out = {
         "model": "pix2pix student (3.0 GMACs cfg, 256^2)",
         "dtype": "bfloat16",
@@ -71,6 +98,13 @@ def main():
         "symbolic_batch_served": batch,
         "max_abs_err_vs_engine": err,
         "artifact_imgs_per_sec_b8": round(ips, 1),
+        "int8": {
+            "artifact_mb": round(len(data_q) / 1e6, 2),
+            "size_ratio_vs_bf16": round(len(data_q) / len(data), 3),
+            "max_abs_err_vs_engine": err_q,
+            "psnr_vs_engine_db": psnr_q,
+            "artifact_imgs_per_sec_b8": round(ips_q, 1),
+        },
         "backend": jax.default_backend(),
     }
     print(json.dumps(out), flush=True)

@@ -35,6 +35,11 @@ def main(argv=None) -> int:
     ep.add_argument("--serve_dtype", default="float32",
                     choices=("float32", "bfloat16"),
                     help="weights+input dtype baked into the artifact")
+    ep.add_argument("--quantize", default="none", choices=("none", "int8"),
+                    help="int8: per-output-channel weight-only quantization"
+                         " — int8 kernels + scales baked into the artifact,"
+                         " dequantized to serve_dtype inside the function"
+                         " (~4x smaller file, ~64 dB PSNR vs f32)")
     ea, rest = ep.parse_known_args(argv)
 
     import jax
@@ -71,11 +76,15 @@ def main(argv=None) -> int:
         exp = hx.export_generator(
             engine, state, shape, direction=d or "AtoB",
             platforms=platforms, poly_batch=ea.static_batch <= 0,
-            dtype=dtype)
+            dtype=dtype,
+            weight_quant=None if ea.quantize == "none" else ea.quantize)
         tag = f"_{d}" if d else ""
+        if ea.quantize != "none":
+            tag += f"_{ea.quantize}"
         path = os.path.join(out_dir, f"{cfg.model}_G{tag}.stablehlo")
         size = hx.save_exported(exp, path)
         logger.info(f"exported {path} ({size/1e6:.2f} MB, "
+                    f"quantize={ea.quantize}, "
                     f"platforms={platforms}, dtype={ea.serve_dtype}, "
                     f"batch={'symbolic' if ea.static_batch <= 0 else ea.static_batch}, "
                     f"input={tuple(shape[1:])})")

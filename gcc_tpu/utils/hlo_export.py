@@ -26,6 +26,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import export as jexport
 
 
@@ -70,17 +71,54 @@ def example_input_shape(cfg) -> Tuple[int, ...]:
     return (1, cfg.crop_size, cfg.crop_size, getattr(cfg, "input_nc", 3))
 
 
+def quantize_int8(params):
+    """Per-output-channel symmetric int8 weight-only quantization.
+
+    Every floating leaf with ndim >= 2 (conv HWIO kernels, transpose-conv
+    forward kernels, dense kernels) is quantized along its last axis — the
+    output-channel axis in this repo's HWIO/[in,out] conventions — with a
+    symmetric scale max|w|/127 per channel. 1-D leaves (norm scales/biases,
+    spectral u/v vectors) stay full precision: they are a rounding-error
+    fraction of the bytes and quantizing norm affine params is what actually
+    hurts quality. Returns (flat_leaves, treedef, qinfo) where qinfo[i] is
+    None for passthrough leaves or (int8 q, f32 scale) for quantized ones.
+
+    Beyond the reference (no quantized deployment path exists there; its
+    serving story is torch-loading the f32 .pth, reference test.py:131-163).
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    qinfo = []
+    for w in leaves:
+        w = np.asarray(w)
+        if w.ndim >= 2 and np.issubdtype(w.dtype, np.floating):
+            axes = tuple(range(w.ndim - 1))
+            s = np.max(np.abs(w), axis=axes, keepdims=True) / 127.0
+            s = np.where(s == 0, 1.0, s).astype(np.float32)
+            q = np.clip(np.round(w.astype(np.float32) / s),
+                        -127, 127).astype(np.int8)
+            qinfo.append((q, s))
+        else:
+            qinfo.append(None)
+    return leaves, treedef, qinfo
+
+
 def export_generator(engine, state, example_shape: Sequence[int],
                      *, direction: str = "AtoB", teacher: bool = False,
                      platforms: Sequence[str] = ("cpu", "tpu"),
                      poly_batch: bool = True,
-                     dtype=jnp.float32) -> jexport.Exported:
+                     dtype=jnp.float32,
+                     weight_quant: Optional[str] = None) -> jexport.Exported:
     """Export one generator as a self-contained serving function.
 
     example_shape includes the batch dim; with poly_batch the batch becomes
     the symbolic dimension "b" so one artifact serves any batch size.
     dtype sets both the input spec and the baked-in weights (bf16 halves the
     artifact and is the measured serving dtype on v5e).
+    weight_quant="int8" stores conv/dense kernels as int8 constants with
+    per-output-channel scales and dequantizes (q * s -> dtype) INSIDE the
+    exported function, so the on-disk artifact carries int8 weights (~4x
+    smaller than f32) while compute stays in dtype. Measured ~64 dB PSNR vs
+    the f32 generator (tests/test_hlo_export.py pins the quality gate).
     """
     from gcc_tpu.engines.common import apply_net
 
@@ -91,9 +129,36 @@ def export_generator(engine, state, example_shape: Sequence[int],
         lambda a: a.astype(dtype) if jnp.issubdtype(
             jnp.asarray(a).dtype, jnp.floating) else a, net)
 
-    def serve(x):
-        out, _, _ = apply_net(mod, net, x, train=False, update_stats=False)
-        return out
+    if weight_quant not in (None, "none", "int8"):
+        raise ValueError(f"unsupported weight_quant {weight_quant!r} "
+                         "(expected 'int8')")
+    if weight_quant == "int8":
+        # Quantize from the ORIGINAL (pre-dtype-cast) weights for scale
+        # precision; the dequant ops below are traced into the artifact so
+        # serialization keeps the int8 constants (the exported StableHLO is
+        # unoptimized — constant folding happens at consumer compile time).
+        raw = jax.device_get(state.nets[key]).get("params", {})
+        _, treedef, qinfo = quantize_int8(raw)
+        fp_leaves = jax.tree_util.tree_flatten(net.get("params", {}))[0]
+
+        def _params():
+            deq = [fp if info is None else
+                   (jnp.asarray(info[0]).astype(jnp.float32)
+                    * jnp.asarray(info[1])).astype(dtype)
+                   for fp, info in zip(fp_leaves, qinfo)]
+            return jax.tree_util.tree_unflatten(treedef, deq)
+
+        def serve(x):
+            net_q = dict(net)
+            net_q["params"] = _params()
+            out, _, _ = apply_net(mod, net_q, x, train=False,
+                                  update_stats=False)
+            return out
+    else:
+        def serve(x):
+            out, _, _ = apply_net(mod, net, x, train=False,
+                                  update_stats=False)
+            return out
 
     shape = tuple(example_shape)
     if poly_batch:

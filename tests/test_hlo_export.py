@@ -100,6 +100,52 @@ class TestExportGenerator:
         assert yb.shape == (2, 32, 32, 3)
         np.testing.assert_allclose(yb, y, atol=0.1)
 
+    def test_int8_weight_quant_quality_and_size(self):
+        """int8 weight-only artifact: ~4x smaller on disk, near-f32 output.
+
+        ngf=16 so weights dominate the serialized bytes (at ngf=4 the
+        StableHLO text overhead would mask the constant-size win)."""
+        from gcc_tpu.engines.pix2pix import Pix2PixEngine
+        cfg = Config(model="pix2pix", ngf=16, ndf=4, teacher_ngf=8,
+                     teacher_ndf=8, crop_size=32, num_downs=5)
+        eng = Pix2PixEngine(cfg)
+        state = eng.init_state(K)
+        exp_f32 = hx.export_generator(eng, state, (1, 32, 32, 3),
+                                      platforms=("cpu",))
+        exp_q = hx.export_generator(eng, state, (1, 32, 32, 3),
+                                    platforms=("cpu",), weight_quant="int8")
+        b_f32 = bytes(exp_f32.serialize())
+        b_q = bytes(exp_q.serialize())
+        assert len(b_q) < 0.5 * len(b_f32), (len(b_q), len(b_f32))
+
+        g = jexport.deserialize(bytearray(b_q))
+        x = img(2, 32)
+        y0 = np.asarray(eng.generate(state, x))
+        y1 = np.asarray(g.call(x))
+        assert np.abs(y1 - y0).max() < 0.02
+        mse = float(np.mean((y1 - y0) ** 2))
+        psnr = 10 * np.log10(4.0 / mse)  # outputs live in [-1, 1]
+        assert psnr > 45.0, psnr
+
+    def test_quantize_int8_leaf_selection(self):
+        """Only ndim>=2 floating leaves quantize; norm affines pass through;
+        per-channel scales reconstruct within one quantization step."""
+        _, eng, state = tiny_pix2pix()
+        params = jax.device_get(state.nets["g"])["params"]
+        leaves, _, qinfo = hx.quantize_int8(params)
+        assert any(i is not None for i in qinfo)
+        for w, info in zip(leaves, qinfo):
+            w = np.asarray(w)
+            if w.ndim >= 2:
+                assert info is not None
+                q, s = info
+                assert q.dtype == np.int8 and q.shape == w.shape
+                assert s.shape == (1,) * (w.ndim - 1) + (w.shape[-1],)
+                err = np.abs(q.astype(np.float32) * s - w)
+                assert (err < s + 1e-12).all(), err.max()
+            else:
+                assert info is None
+
     def test_teacher_export(self):
         from gcc_tpu.engines.pix2pix import Pix2PixEngine
         cfg = Config(model="pix2pix", ngf=4, ndf=4, teacher_ngf=8,
@@ -139,3 +185,17 @@ def test_cli_export(tmp_path):
     x = img(2, 32)
     np.testing.assert_allclose(np.asarray(g.call(x)),
                                np.asarray(eng.generate(state, x)), atol=1e-6)
+
+    # --quantize int8 writes a suffixed artifact that still calls
+    rc = main(["--output_dir", out_dir, "--platforms", "cpu",
+               "--quantize", "int8",
+               "--model", "pix2pix", "--dataroot", str(tmp_path),
+               "--name", "exp", "--checkpoints_dir", str(tmp_path),
+               "--pretrain_path", ckpt_path,
+               "--ngf", "4", "--ndf", "4", "--num_downs", "5",
+               "--crop_size", "32"])
+    assert rc == 0
+    qpath = os.path.join(out_dir, "pix2pix_G_int8.stablehlo")
+    gq = hx.load_exported(qpath)
+    np.testing.assert_allclose(np.asarray(gq.call(x)),
+                               np.asarray(eng.generate(state, x)), atol=0.02)
