@@ -41,17 +41,26 @@ _LAST_MEASURED = os.path.join(_REPO, "benchmarks", "bench_last_measured.json")
 
 
 def _backend_probe(timeout_s: float) -> bool:
-    """True iff the device backend initializes in a fresh subprocess.
+    """True iff the device backend can run a COMPUTATION in a fresh
+    subprocess (compile + execute + device->host scalar pull).
 
-    The axon TPU tunnel, when down, makes jax.devices() HANG for minutes
-    rather than fail (CLAUDE.md gotchas) — probing in a subprocess with a
-    hard timeout lets the bench fail fast and fall back to the cached
-    measurement instead of stalling the driver's end-of-round run.
+    The axon TPU tunnel has two distinct failure modes (CLAUDE.md gotchas):
+    (a) down at init — jax.devices() HANGS for minutes rather than fail;
+    (b) wedged after init — the backend initializes fine but the first
+        compile/transfer hangs forever (observed r4: bench printed the
+        backend warning then nothing for 570s).
+    Probing an actual tiny matmul round-trip in a subprocess with a hard
+    timeout catches both, so the bench fails fast and falls back to the
+    cached measurement instead of stalling the driver's end-of-round run.
     """
     import subprocess
     try:
         r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c",
+             ("import jax, jax.numpy as jnp; "
+              "x = jnp.ones((256, 256)); "
+              "v = float((x @ x)[0, 0]); "
+              "assert v == 256.0, v")],
             timeout=timeout_s, capture_output=True)
         return r.returncode == 0
     except subprocess.TimeoutExpired:
@@ -122,8 +131,9 @@ def main() -> None:
     if not args.smoke and args.probe_timeout > 0:
         if not _backend_probe(args.probe_timeout):
             sys.exit(_emit_cached_fallback(
-                "device backend failed to initialize within "
-                f"{args.probe_timeout:.0f}s (axon TPU tunnel down)"))
+                "device backend failed to run a tiny matmul round-trip "
+                f"within {args.probe_timeout:.0f}s (axon TPU tunnel down "
+                "or wedged post-init)"))
 
     import jax
     if args.smoke:
