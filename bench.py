@@ -121,19 +121,37 @@ def main() -> None:
                    help="measure pruned-generator inference throughput "
                         "instead of the training iteration")
     p.add_argument("--probe_timeout", type=float, default=150.0,
-                   help="seconds to wait for the device backend before "
-                        "falling back to the cached measurement (0 = no "
-                        "probe)")
+                   help="seconds to wait for the device backend on each "
+                        "probe attempt before retrying (0 = no probe)")
+    p.add_argument("--probe_window", type=float, default=1800.0,
+                   help="total seconds to keep re-probing a down/wedged "
+                        "backend before emitting the cached fallback "
+                        "(live-or-bust: tunnel outages are usually "
+                        "transient, so poll rather than give up)")
+    p.add_argument("--probe_interval", type=float, default=150.0,
+                   help="seconds between probe attempts within the window")
     args = p.parse_args()
     if args.steps < 1:
         p.error("--steps must be >= 1")
 
     if not args.smoke and args.probe_timeout > 0:
-        if not _backend_probe(args.probe_timeout):
-            sys.exit(_emit_cached_fallback(
-                "device backend failed to run a tiny matmul round-trip "
-                f"within {args.probe_timeout:.0f}s (axon TPU tunnel down "
-                "or wedged post-init)"))
+        deadline = time.monotonic() + max(args.probe_window,
+                                          args.probe_timeout)
+        attempt = 0
+        while True:
+            attempt += 1
+            if _backend_probe(args.probe_timeout):
+                break
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                sys.exit(_emit_cached_fallback(
+                    "device backend failed to run a tiny matmul round-trip "
+                    f"in {attempt} attempts over "
+                    f"{args.probe_window:.0f}s (axon TPU tunnel down or "
+                    "wedged post-init)"))
+            print(f"bench: probe attempt {attempt} failed; retrying for "
+                  f"up to {remaining:.0f}s more", file=sys.stderr)
+            time.sleep(min(args.probe_interval, max(remaining, 0)))
 
     import jax
     if args.smoke:

@@ -22,6 +22,7 @@ Load with `jax.export.deserialize(bytearray(open(p,'rb').read())).call(x)`.
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -77,11 +78,16 @@ def quantize_int8(params):
     Every floating leaf with ndim >= 2 (conv HWIO kernels, transpose-conv
     forward kernels, dense kernels) is quantized along its last axis — the
     output-channel axis in this repo's HWIO/[in,out] conventions — with a
-    symmetric scale max|w|/127 per channel. 1-D leaves (norm scales/biases,
-    spectral u/v vectors) stay full precision: they are a rounding-error
-    fraction of the bytes and quantizing norm affine params is what actually
-    hurts quality. Returns (flat_leaves, treedef, qinfo) where qinfo[i] is
-    None for passthrough leaves or (int8 q, f32 scale) for quantized ones.
+    symmetric scale max|w|/127 per channel. Caveat: transpose-conv kernels
+    are stored as the HWIO of the FORWARD conv (repo convention, CLAUDE.md),
+    so for those leaves the last axis is the deconv's *input* channel; the
+    grouping is per-forward-output-channel, which is numerically valid but
+    a different channel grouping than for ordinary convs. 1-D leaves (norm
+    scales/biases, spectral u/v vectors) stay full precision: they are a
+    rounding-error fraction of the bytes and quantizing norm affine params
+    is what actually hurts quality. Returns (flat_leaves, treedef, qinfo)
+    where qinfo[i] is None for passthrough leaves or (int8 q, f32 scale)
+    for quantized ones.
 
     Beyond the reference (no quantized deployment path exists there; its
     serving story is torch-loading the f32 .pth, reference test.py:131-163).
@@ -90,15 +96,24 @@ def quantize_int8(params):
     qinfo = []
     for w in leaves:
         w = np.asarray(w)
-        if w.ndim >= 2 and np.issubdtype(w.dtype, np.floating):
+        # jnp.issubdtype, not np.issubdtype: ml_dtypes.bfloat16 (a bf16-typed
+        # params tree) is floating under jax's lattice but NOT under numpy's
+        # — the np check would silently pass every bf16 kernel through
+        # unquantized (ADVICE r4).
+        if w.ndim >= 2 and jnp.issubdtype(w.dtype, jnp.floating):
             axes = tuple(range(w.ndim - 1))
-            s = np.max(np.abs(w), axis=axes, keepdims=True) / 127.0
+            w32 = w.astype(np.float32)
+            s = np.max(np.abs(w32), axis=axes, keepdims=True) / 127.0
             s = np.where(s == 0, 1.0, s).astype(np.float32)
-            q = np.clip(np.round(w.astype(np.float32) / s),
-                        -127, 127).astype(np.int8)
+            q = np.clip(np.round(w32 / s), -127, 127).astype(np.int8)
             qinfo.append((q, s))
         else:
             qinfo.append(None)
+    if leaves and not any(i is not None for i in qinfo):
+        warnings.warn(
+            "quantize_int8: no leaf was quantized (no floating leaf with "
+            "ndim >= 2 found) — the exported artifact will not shrink",
+            stacklevel=2)
     return leaves, treedef, qinfo
 
 
