@@ -13,6 +13,19 @@ import os
 import numpy as np
 
 
+def dump_cap(cfg):
+    """Image-dump cap for the test loop.
+
+    `--ntest N` wins when given; with the default ntest=inf, SAGAN caps at
+    1000 images (reference test.py:51 `if i == 1000: break`) and the other
+    families dump the whole eval set (reference test.py:27-28 keeps its cap
+    commented out).
+    """
+    if cfg.ntest != float("inf"):
+        return int(cfg.ntest)
+    return 1000 if cfg.model == "sagan" else None
+
+
 def rebuild_engine(cfg, ckpt):
     from gcc_tpu.models import get_engine_class
     from gcc_tpu.utils.checkpoint import restore_cfg
@@ -73,7 +86,7 @@ def main(argv=None) -> int:
     loader = create_dataset(cfg.replace(batch_size=1, serial_batches=True,
                                         no_flip=True), seed=0)
     n = 0
-    cap = None if cfg.ntest == float("inf") else int(cfg.ntest)
+    cap = dump_cap(cfg)
     for batch in loader:
         # visual sets mirror get_current_visuals (Pix2Pix.py:686-692 etc.)
         if "pix2pix" in cfg.model:

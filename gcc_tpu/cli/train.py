@@ -383,6 +383,18 @@ def run(cfg) -> int:
                 state, losses = engine.train_step(state, batch, lr)
             total_iters += cfg.batch_size
 
+            if cfg.check_numerics:
+                # one host sync per iteration; aborts with the offending
+                # loss NAMES (utils/numerics.py) — the cheap sanitizer vs
+                # --debug_nans' per-primitive re-execution
+                from gcc_tpu.utils.numerics import assert_finite_losses
+                try:
+                    assert_finite_losses(losses, epoch=epoch,
+                                         iters=total_iters)
+                except FloatingPointError as e:
+                    logger.error(str(e))
+                    raise
+
             if profile_until is not None and i + 1 >= profile_until:
                 jax.block_until_ready(jax.tree_util.tree_leaves(losses))
                 jax.profiler.stop_trace()

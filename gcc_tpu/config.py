@@ -136,6 +136,7 @@ class Config:
     # ---- TPU-native additions (no reference equivalent) ----
     native_loader: bool = False  # C++ transform engine (gcc_tpu.native)
     debug_nans: bool = False  # jax_debug_nans (SURVEY.md §5 sanitizers row)
+    check_numerics: bool = False  # post-step finite-check on the named-loss dict; aborts with the offending loss names (cheaper than --debug_nans: no per-primitive re-execution, one host sync per step)
     profile_steps: int = 0  # capture a jax.profiler trace of the first N iters
     seed: int = 0
     compute_dtype: str = "bfloat16"  # dtype for conv math inside the step
@@ -211,7 +212,7 @@ def apply_presets(cfg: Config) -> Config:
 
 
 _BOOL_FLAGS = [
-    "native_loader", "debug_nans", "no_dropout", "serial_batches", "no_flip", "split_dataset", "scale_prune",
+    "native_loader", "debug_nans", "check_numerics", "no_dropout", "serial_batches", "no_flip", "split_dataset", "scale_prune",
     "norm_prune", "darts_discriminator", "arch_lr_step", "adaptive_ema",
     "regular", "arch_base_loss", "only_arch_base", "normalize_arch",
     "clear_arch", "online_distillation", "normal_distillation", "center_crop",

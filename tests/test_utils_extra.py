@@ -303,3 +303,27 @@ def test_memory_guard_in_cli_train(tmp_path):
     with open(os.path.join(exp, "mg", "logger.log")) as f:
         log = f.read()
     assert "memory guard: projected step peak" in log
+
+
+def test_assert_finite_losses_names_offenders():
+    """--check_numerics core: the abort message carries the NAMES of the
+    non-finite losses (SURVEY.md §5 sanitizers row)."""
+    import numpy as np
+    import pytest
+    from gcc_tpu.utils.numerics import assert_finite_losses
+
+    ok = {"G_gan": np.float32(0.5), "D_real": np.float32(0.1)}
+    assert assert_finite_losses(ok) is ok  # chains through unchanged
+
+    bad = {"G_gan": np.float32("nan"), "D_real": np.float32(0.1),
+           "distill": np.float32("inf")}
+    with pytest.raises(FloatingPointError) as ei:
+        assert_finite_losses(bad, epoch=3, iters=128)
+    msg = str(ei.value)
+    assert "G_gan" in msg and "distill" in msg and "D_real" not in msg
+    assert "epoch 3" in msg and "iters 128" in msg
+
+    # array-valued entries report a non-finite count
+    arr = {"per_layer": np.array([1.0, np.nan, np.inf, 2.0])}
+    with pytest.raises(FloatingPointError, match=r"2/4 non-finite"):
+        assert_finite_losses(arr)
