@@ -186,10 +186,10 @@ def miou_from_hist(hist: np.ndarray) -> float:
 # Weight porting + full evaluation
 # ---------------------------------------------------------------------------
 
-def load_torch_drnseg(path,
-                      layers: Sequence[int] = DRN_D_105_LAYERS) -> dict:
-    """Port a torch DRNSeg state_dict (--drn_path: .pth, an .npz of it, or
-    an in-memory {key: ndarray} mapping) to this module's params."""
+def _drn_sd(path) -> dict:
+    """Load a DRNSeg state_dict (--drn_path: .pth, an .npz of it, or an
+    in-memory {key: ndarray} mapping), DataParallel 'module.' prefix
+    stripped."""
     if isinstance(path, dict):
         sd = dict(path)
     elif path.endswith(".npz"):
@@ -198,8 +198,36 @@ def load_torch_drnseg(path,
         import torch
         sd = {k: v.numpy() for k, v in
               torch.load(path, map_location="cpu").items()}
-    sd = {k[len("module."):] if k.startswith("module.") else k: v
-          for k, v in sd.items()}
+    return {k[len("module."):] if k.startswith("module.") else k: v
+            for k, v in sd.items()}
+
+
+def infer_drn_layers(sd: dict) -> tuple:
+    """Per-layer block depths from a DRNSeg state_dict's key structure.
+
+    Real DRN-D-105 checkpoints infer to (1,1,3,4,23,3,1,1); thin
+    random-weight test fixtures (tests/test_real_metric_e2e.py) infer to
+    their own depths, so compute_miou runs the identical code path on both.
+    Layers 1-2 and 7-8 are conv-bn-relu stacks (keys base.<l>.<3i>.weight),
+    3-6 Bottleneck stacks (keys base.<l>.<b>.conv1.weight).
+    """
+    ly = []
+    for li in range(1, 9):
+        probe = (f"base.{li}.{{}}.conv1.weight" if 3 <= li <= 6
+                 else f"base.{li}.{{}}.weight")
+        step = 1 if 3 <= li <= 6 else 3
+        n = 0
+        while probe.format(step * n) in sd:
+            n += 1
+        ly.append(n)
+    return tuple(ly)
+
+
+def load_torch_drnseg(path,
+                      layers: Sequence[int] = DRN_D_105_LAYERS) -> dict:
+    """Port a torch DRNSeg state_dict (--drn_path: .pth, an .npz of it, or
+    an in-memory {key: ndarray} mapping) to this module's params."""
+    sd = _drn_sd(path)
 
     params: dict = {}
 
@@ -267,10 +295,24 @@ def resize_logits_pil(logits_nhwc: np.ndarray, width: int,
 
 def compute_miou(cfg, fakes_m11: np.ndarray, dataset,
                  table_path: Optional[str] = None) -> float:
-    """Full mIoU protocol on generated cityscapes photos."""
+    """Full mIoU protocol on generated cityscapes photos
+    (mIoU_score.py:195-218 + SegList's FromArray([2048,1024]) transform,
+    l.78): fake -> bilinear resize to the label's resolution -> DRN-D-105
+    forward -> fixed 8x deconv upsample -> argmax -> fast_hist vs the
+    trainIds label named by table.txt.
+
+    The reference hard-codes 2048x1024 because cityscapes labels ARE
+    2048x1024; here the resolution comes from the label file itself, which
+    is byte-identical on real cityscapes and lets thin random-weight
+    fixtures exercise this exact path at test size. DRN depth is inferred
+    from the checkpoint (infer_drn_layers), so full and thin checkpoints
+    take the same code path.
+    """
     from PIL import Image
-    params = load_torch_drnseg(cfg.drn_path)
-    model = DRNSeg()
+    sd = _drn_sd(cfg.drn_path)
+    layers = infer_drn_layers(sd)
+    params = load_torch_drnseg(sd, layers=layers)
+    model = DRNSeg(layers=layers)
     # the fixed bilinear 8x deconv brings logits back to full resolution;
     # the reference's per-channel PIL resize is then a no-op
     # (mIoU_score.py:175-176 early-returns when sizes already match)
@@ -288,14 +330,6 @@ def compute_miou(cfg, fakes_m11: np.ndarray, dataset,
 
     hist = np.zeros((19, 19))
     for fake, name in zip(fakes_m11, names):
-        u8 = np.clip((fake + 1) / 2 * 255, 0, 255).astype(np.uint8)
-        img = Image.fromarray(u8).resize((2048, 1024), Image.BILINEAR)
-        x = (np.asarray(img, np.float32) / 255.0 - CITYSCAPES_MEAN) \
-            / CITYSCAPES_STD
-        up = np.asarray(fn(params, x[None]))
-        if up.shape[1:3] != (1024, 2048):
-            up = resize_logits_pil(up, 2048, 1024)
-        pred = up.argmax(axis=-1)
         label_file = None
         for item in table:
             if item[0] == name or item[2][:-len(".png")].endswith(name):
@@ -305,5 +339,14 @@ def compute_miou(cfg, fakes_m11: np.ndarray, dataset,
             continue
         label = np.asarray(Image.open(
             os.path.join(cfg.dataroot, label_file)), np.int64)
+        lh, lw = label.shape[:2]
+        u8 = np.clip((fake + 1) / 2 * 255, 0, 255).astype(np.uint8)
+        img = Image.fromarray(u8).resize((lw, lh), Image.BILINEAR)
+        x = (np.asarray(img, np.float32) / 255.0 - CITYSCAPES_MEAN) \
+            / CITYSCAPES_STD
+        up = np.asarray(fn(params, x[None]))
+        if up.shape[1:3] != (lh, lw):
+            up = resize_logits_pil(up, lw, lh)
+        pred = up.argmax(axis=-1)
         hist += fast_hist(pred.flatten(), label.flatten(), 19)
     return miou_from_hist(hist)
