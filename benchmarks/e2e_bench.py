@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from data_bench import make_jpegs  # noqa: E402
 
 
-def build_engine(smoke: bool, batch: int):
+def build_engine(smoke: bool, batch: int, fused_d: bool = False):
     import jax
     import jax.numpy as jnp
     from gcc_tpu.config import Config
@@ -66,7 +66,8 @@ def build_engine(smoke: bool, batch: int):
                  teacher_ndf=tndf, crop_size=size, num_downs=downs,
                  lambda_L1=100.0, gan_mode="hinge", online_distillation=True,
                  darts_discriminator=True, lambda_content=50.0,
-                 lambda_gram=1e4, lr=2e-4, arch_lr=1e-4, batch_size=batch)
+                 lambda_gram=1e4, lr=2e-4, arch_lr=1e-4, batch_size=batch,
+                 fused_d_batch=fused_d)
     eng = Pix2PixEngine(cfg, filter_cfgs=student_cfgs[0],
                         channel_cfgs=student_cfgs[1])
     return eng, size

@@ -44,9 +44,9 @@ _DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
                 "f64": 8, "s8": 1, "u8": 1, "pred": 1}
 
 
-def build(smoke: bool, batch: int):
+def build(smoke: bool, batch: int, fused_d: bool = False):
     from e2e_bench import build_engine
-    return build_engine(smoke, batch)
+    return build_engine(smoke, batch, fused_d=fused_d)
 
 
 def _mk_batches(size: int, batch: int, dtype):
@@ -69,7 +69,7 @@ def part1_real_chip(args) -> dict:
     import jax.numpy as jnp
     from gcc_tpu.parallel import make_mesh, replicate_state, shard_batch
 
-    eng, size = build(args.smoke, args.batch)
+    eng, size = build(args.smoke, args.batch, args.fused_d)
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     batch, val = _mk_batches(size, args.batch, dtype)
 
@@ -134,7 +134,7 @@ def part2_virtual_mesh(args) -> dict:
     import jax.numpy as jnp
     from gcc_tpu.parallel import make_mesh, replicate_state, shard_batch
 
-    eng, size = build(args.smoke, args.batch8)
+    eng, size = build(args.smoke, args.batch8, args.fused_d)
     state = replicate_state(
         eng.init_state(jax.random.PRNGKey(0), image_size=size),
         make_mesh(8))
@@ -220,17 +220,25 @@ def part2_virtual_mesh(args) -> dict:
         "small_collectives_count": len(small),
         "small_collectives_bytes": sum(a["bytes"] for a in small),
         "batch_stat_leaves": bn_like,
-        "note": "big (>=64KB) all-reduces = gradient reduction; small ones "
-                "= global-BatchNorm statistics + loss/metric scalars. "
-                "grad_vs_param_ratio ~1.0 means XLA reduces exactly the "
-                "gradient bytes once per step — DP's theoretical minimum. "
-                "The measured excess over 1.0 is fully attributed by "
-                "excess_top_shapes: the two PatchGAN discriminators' conv "
-                "kernels are each all-reduced twice (fake-batch and "
-                "real-batch wgrad contributions reduced separately by XLA "
-                "instead of summed locally first) plus per-forward "
-                "global-BN statistic vectors; ICI cost is excess/param "
-                "~26% on this program, latency-hidden behind the backward.",
+        "fused_d_batch": args.fused_d,
+        "note": ("big (>=64KB) all-reduces = gradient reduction; small ones "
+                 "= global-BatchNorm statistics + loss/metric scalars. "
+                 "grad_vs_param_ratio ~1.0 means XLA reduces exactly the "
+                 "gradient bytes once per step — DP's theoretical minimum. ")
+        + ("--fused_d_batch interleaves each D update's fake+real pair "
+           "into ONE forward (engines/common.py:d_pair), so every D weight "
+           "gradient is a single batch contraction reduced once; the "
+           "remaining sub-MB excess is per-forward global-BN statistic "
+           "vectors." if args.fused_d else
+           "The measured excess over 1.0 is fully attributed by "
+           "excess_top_shapes: the two PatchGAN discriminators' conv "
+           "kernels are each all-reduced twice (fake-batch and "
+           "real-batch wgrad contributions reduced separately by XLA "
+           "instead of summed locally first) plus per-forward "
+           "global-BN statistic vectors; ICI cost is excess/param "
+           "~26% on this program, latency-hidden behind the backward. "
+           "--fused_d_batch removes the duplication (see the _fused_d "
+           "entry)."),
     }
 
 
@@ -243,14 +251,20 @@ def main():
                         "(CPU compile; divisible by 8)")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--part", default="", help="1|2 (default both)")
+    p.add_argument("--fused_d", action="store_true",
+                   help="build the engine with --fused_d_batch: one "
+                        "stacked fake+real D forward per update "
+                        "(engines/common.py:d_pair) — should drop the "
+                        "grad all-reduce to ~1.0x param bytes")
     args = p.parse_args()
     if args.smoke:
         args.batch, args.batch8, args.steps = 8, 8, 3
 
+    suffix = "_fused_d" if args.fused_d else ""
     results = {}
     if args.part in ("", "1") and not args.smoke:
-        results["real_chip_mesh1"] = part1_real_chip(args)
-        print(json.dumps(results["real_chip_mesh1"]), flush=True)
+        results["real_chip_mesh1" + suffix] = part1_real_chip(args)
+        print(json.dumps(results["real_chip_mesh1" + suffix]), flush=True)
     if args.part in ("", "2") or args.smoke:
         # the 8-device analysis needs the virtual CPU mesh: re-exec unless
         # already configured
@@ -265,6 +279,8 @@ def main():
                "--batch8", str(args.batch8)]
         if args.smoke:
             cmd.append("--smoke")
+        if args.fused_d:
+            cmd.append("--fused_d")
         cp = subprocess.run(cmd, env=env, capture_output=True, text=True,
                             timeout=3600)
         if cp.returncode != 0:
@@ -272,7 +288,7 @@ def main():
             raise SystemExit("virtual-mesh child failed")
         line = [ln for ln in cp.stdout.splitlines()
                 if ln.startswith("{")][-1]
-        results["virtual_mesh8_hlo"] = json.loads(line)
+        results["virtual_mesh8_hlo" + suffix] = json.loads(line)
         print(line, flush=True)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -179,7 +179,7 @@ def main():
         "config": {k: getattr(args, k) for k in
                    ("epochs", "size", "num_downs", "ngf", "ndf",
                     "teacher_ngf", "teacher_ndf", "batch", "train_n",
-                    "val_n", "seed")},
+                    "val_n", "prune_frac", "seed")},
         "student_gmacs": round(got, 4),
         "backend": jax.default_backend(),
         "branches": [run_branch("plain", (fc, cc), args, jnp, jax),

@@ -144,6 +144,7 @@ class Config:
     data_axis: str = "data"  # mesh axis name for batch sharding
     mesh_shape: Optional[Tuple[int, ...]] = None  # None => all devices on data axis
     spatial_shards: int = 1  # >1: shard image H over devices at eval (parallel/spatial.py)
+    fused_d_batch: bool = False  # one D forward over the stacked fake+real pair: halves the D-wgrad all-reduce traffic on multi-chip meshes (engines/common.py:d_pair); off = reference-exact per-half BN batches / spectral iterations
     pallas_attn_threshold: int = 1024  # min H*W for the fused flash-attention kernel on TPU
     fused_resblock: str = "auto"  # auto|on|off: Pallas fused MobileResnet blocks
     compile_cache: str = "auto"  # persistent XLA compilation cache dir; auto => <checkpoints_dir>/jax_compile_cache; "" disables
@@ -216,7 +217,7 @@ _BOOL_FLAGS = [
     "norm_prune", "darts_discriminator", "arch_lr_step", "adaptive_ema",
     "regular", "arch_base_loss", "only_arch_base", "normalize_arch",
     "clear_arch", "online_distillation", "normal_distillation", "center_crop",
-    "generator_only", "continue_train",
+    "generator_only", "continue_train", "fused_d_batch",
 ]
 
 

@@ -68,6 +68,51 @@ def apply_net(module, variables: Dict[str, Any], *args,
     return out, new_vars, feats
 
 
+def d_pair(module, variables: Dict[str, Any], x_a, x_b,
+           fused: bool = False, update_stats: bool = True,
+           capture_b: bool = False):
+    """Discriminator forwards on an update's (real, fake) input pair.
+
+    Default (fused=False): the reference's two sequential train-mode
+    forwards (models/Pix2Pix.py:464-477) — per-half BatchNorm batches, one
+    spectral power iteration per forward. Under the data-parallel mesh the
+    backward of EACH half contracts the sharded batch dim in its own dot,
+    so XLA all-reduces every D weight gradient TWICE per update.
+
+    fused=True (--fused_d_batch): ONE forward over the pair stacked on a
+    new axis 1 and flattened into the batch dim. The flatten keeps shard
+    boundaries device-local (global row 2b+j lives where row b lived), so
+    SPMD inserts zero resharding collectives, and the single batch
+    contraction per weight cuts the cross-chip gradient traffic for D
+    updates in half — all-reduce bytes drop from 1.256x to ~1.0x parameter
+    bytes on the 8-mesh (benchmarks/mesh_overhead.py). Deviation (see
+    PARITY.md): batch-coupled state sees the mixed 2B batch — BatchNorm
+    statistics (pix2pix/srgan D) and one spectral power iteration instead
+    of two (sagan D); instance-norm D's (cyclegan) are numerically
+    unchanged. Per-sample outputs/gradients are otherwise identical.
+
+    Returns (p_a, p_b, new_variables[, feats_b if capture_b]) matching the
+    two-forward call-site contract; feats_b are the sown intermediates of
+    the x_b forward (fused mode slices each captured feature back to its
+    x_b half).
+    """
+    if not fused:
+        p_a, v, _ = apply_net(module, variables, x_a,
+                              update_stats=update_stats)
+        p_b, v, feats = apply_net(module, v, x_b, capture=capture_b,
+                                  update_stats=update_stats)
+        return (p_a, p_b, v, feats) if capture_b else (p_a, p_b, v)
+    n = x_a.shape[0]
+    both = jnp.stack([x_a, x_b], axis=1).reshape((2 * n,) + x_a.shape[1:])
+    p, v, feats = apply_net(module, variables, both, capture=capture_b,
+                            update_stats=update_stats)
+    p = p.reshape((n, 2) + p.shape[1:])
+    if capture_b:
+        feats = [f.reshape((n, 2) + f.shape[1:])[:, 1] for f in feats]
+        return p[:, 0], p[:, 1], v, feats
+    return p[:, 0], p[:, 1], v
+
+
 # ---------------------------------------------------------------------------
 # Optimization
 # ---------------------------------------------------------------------------

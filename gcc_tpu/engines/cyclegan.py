@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from gcc_tpu.config import Config
 from gcc_tpu.engines.common import (
     CombinedStepMixin, GANState, adam_step, add_sign_sparsity, apply_net,
-    cyclegan_heavy_sparsity, discrepancy, distill_losses, ema_update,
+    cyclegan_heavy_sparsity, d_pair, discrepancy, distill_losses, ema_update,
     make_adam, pool_init, pool_query,
 )
 from gcc_tpu.engines.pix2pix import TransformConvs
@@ -54,6 +54,7 @@ class CycleGANEngine(CombinedStepMixin):
         self.distill = cfg.online_distillation or cfg.normal_distillation
         self.darts = cfg.darts_discriminator
         self.gan_mode = cfg.gan_mode
+        self.fused_d = cfg.fused_d_batch
 
         fb = {"auto": None, "on": True, "off": False}[cfg.fused_resblock]
         self.G_A = MobileResnetGenerator(ngf=cfg.ngf, cfg=cfg_AtoB,
@@ -241,12 +242,14 @@ class CycleGANEngine(CombinedStepMixin):
             def td_loss(bundle):
                 va = {**nets["td_a"], "params": bundle["d_a"]}
                 vb = {**nets["td_b"], "params": bundle["d_b"]}
-                pra, _, _ = apply_net(self.TD_A, va, B, update_stats=False)
-                pfa, _, tdfA = apply_net(self.TD_A, va, tp_fake_B,
-                                         capture=True, update_stats=False)
-                prb, _, _ = apply_net(self.TD_B, vb, A, update_stats=False)
-                pfb, _, tdfB = apply_net(self.TD_B, vb, tp_fake_A,
-                                         capture=True, update_stats=False)
+                pra, pfa, _, tdfA = d_pair(self.TD_A, va, B, tp_fake_B,
+                                           fused=self.fused_d,
+                                           update_stats=False,
+                                           capture_b=True)
+                prb, pfb, _, tdfB = d_pair(self.TD_B, vb, A, tp_fake_A,
+                                           fused=self.fused_d,
+                                           update_stats=False,
+                                           capture_b=True)
                 loss = ((gan_loss(pra, True, self.gan_mode)
                          + gan_loss(pfa, False, self.gan_mode)) * 0.5
                         + (gan_loss(prb, True, self.gan_mode)
@@ -340,10 +343,10 @@ class CycleGANEngine(CombinedStepMixin):
         def d_loss(bundle):
             va = {**nets["d_a"], "params": bundle["d_a"]}
             vb = {**nets["d_b"], "params": bundle["d_b"]}
-            pra, va, _ = apply_net(self.D_A, va, B)
-            pfa, va, _ = apply_net(self.D_A, va, pooled_fake_B)
-            prb, vb, _ = apply_net(self.D_B, vb, A)
-            pfb, vb, _ = apply_net(self.D_B, vb, pooled_fake_A)
+            pra, pfa, va = d_pair(self.D_A, va, B, pooled_fake_B,
+                                  fused=self.fused_d)
+            prb, pfb, vb = d_pair(self.D_B, vb, A, pooled_fake_A,
+                                  fused=self.fused_d)
             lda = (gan_loss(pra, True, self.gan_mode)
                    + gan_loss(pfa, False, self.gan_mode)) * 0.5
             ldb = (gan_loss(prb, True, self.gan_mode)

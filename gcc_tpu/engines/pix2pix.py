@@ -33,7 +33,7 @@ import flax.linen as nn
 from gcc_tpu.config import Config
 from gcc_tpu.engines.common import (
     CombinedStepMixin, GANState, adam_step, add_sign_sparsity, apply_net,
-    discrepancy, distill_losses, ema_update, make_adam,
+    d_pair, discrepancy, distill_losses, ema_update, make_adam,
 )
 from gcc_tpu.losses import gan_loss, l1
 from gcc_tpu.models.generators import MobileResnetGenerator, UnetGenerator
@@ -66,6 +66,7 @@ class Pix2PixEngine(CombinedStepMixin):
         self.distill = cfg.online_distillation or cfg.normal_distillation
         self.darts = cfg.darts_discriminator
         self.gan_mode = cfg.gan_mode
+        self.fused_d = cfg.fused_d_batch
 
         fb = {"auto": None, "on": True, "off": False}[cfg.fused_resblock]
         if cfg.backbone == "resnet":
@@ -174,10 +175,10 @@ class Pix2PixEngine(CombinedStepMixin):
             # ---- teacher D update (D-then-G order, Pix2Pix.py:565-583) ----
             def td_loss(td_params):
                 v = {**nets["td"], "params": td_params}
-                pf, v, _ = apply_net(
-                    self.TD, v, jnp.concatenate(
-                        [A, jax.lax.stop_gradient(tfake)], -1))
-                pr, v, _ = apply_net(self.TD, v, jnp.concatenate([A, B], -1))
+                pf, pr, v = d_pair(
+                    self.TD, v,
+                    jnp.concatenate([A, jax.lax.stop_gradient(tfake)], -1),
+                    jnp.concatenate([A, B], -1), fused=self.fused_d)
                 loss = (gan_loss(pf, False, self.gan_mode)
                         + gan_loss(pr, True, self.gan_mode)) * 0.5
                 return loss, v
@@ -225,9 +226,10 @@ class Pix2PixEngine(CombinedStepMixin):
         # ---- student D update (alphas are constants here) ----
         def d_loss(d_params):
             v = {**nets["d"], "params": d_params}
-            pf, v, _ = apply_net(self.D, v, jnp.concatenate(
-                [A, jax.lax.stop_gradient(fake)], -1))
-            pr, v, _ = apply_net(self.D, v, jnp.concatenate([A, B], -1))
+            pf, pr, v = d_pair(
+                self.D, v,
+                jnp.concatenate([A, jax.lax.stop_gradient(fake)], -1),
+                jnp.concatenate([A, B], -1), fused=self.fused_d)
             lf = gan_loss(pf, False, self.gan_mode)
             lr_ = gan_loss(pr, True, self.gan_mode)
             return (lf + lr_) * 0.5, (v, lf, lr_)

@@ -32,8 +32,8 @@ import jax.numpy as jnp
 from gcc_tpu.config import Config
 from gcc_tpu.engines.common import (
     CombinedStepMixin, GANState, adam_step, add_sign_sparsity, apply_net,
-    discrepancy, distill_losses, dup_adam_step, dup_path_mask, ema_update,
-    make_adam,
+    d_pair, discrepancy, distill_losses, dup_adam_step, dup_path_mask,
+    ema_update, make_adam,
 )
 from gcc_tpu.engines.pix2pix import TransformConvs
 from gcc_tpu.losses import gan_loss, l1
@@ -53,6 +53,7 @@ class SAGANEngine(CombinedStepMixin):
         self.distill = cfg.online_distillation or cfg.normal_distillation
         self.darts = cfg.darts_discriminator
         self.gan_mode = cfg.gan_mode
+        self.fused_d = cfg.fused_d_batch
 
         thr = cfg.pallas_attn_threshold
         self.G = SAGANGenerator(ngf=cfg.ngf, image_size=cfg.crop_size,
@@ -164,9 +165,10 @@ class SAGANEngine(CombinedStepMixin):
 
             def td_loss(td_params):
                 v = {**nets["td"], "params": td_params}
-                pr, v, _ = apply_net(self.TD, v, real)  # real first (l.379)
-                pf, v, _ = apply_net(
-                    self.TD, v, jax.lax.stop_gradient(tfake0))
+                # real first (SAGAN.py:379)
+                pr, pf, v = d_pair(self.TD, v, real,
+                                   jax.lax.stop_gradient(tfake0),
+                                   fused=self.fused_d)
                 loss = gan_loss(pf, False, self.gan_mode) \
                     + gan_loss(pr, True, self.gan_mode)
                 return loss, v
@@ -209,8 +211,9 @@ class SAGANEngine(CombinedStepMixin):
 
         def d_loss(d_params):
             v = {**nets["d"], "params": d_params}
-            pr, v, _ = apply_net(self.D, v, real)
-            pf, v, _ = apply_net(self.D, v, jax.lax.stop_gradient(fake))
+            pr, pf, v = d_pair(self.D, v, real,
+                               jax.lax.stop_gradient(fake),
+                               fused=self.fused_d)
             lf = gan_loss(pf, False, self.gan_mode)
             lr_ = gan_loss(pr, True, self.gan_mode)
             return lf + lr_, (v, lf, lr_)

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from gcc_tpu.config import Config
 from gcc_tpu.engines.common import (
     CombinedStepMixin, GANState, adam_step, add_sign_sparsity, apply_net,
-    discrepancy, distill_losses, ema_update, make_adam,
+    d_pair, discrepancy, distill_losses, ema_update, make_adam,
 )
 from gcc_tpu.engines.pix2pix import TransformConvs
 from gcc_tpu.losses import gan_loss, l1, mse
@@ -56,6 +56,7 @@ class SRGANEngine(CombinedStepMixin):
         self.distill = cfg.online_distillation or cfg.normal_distillation
         self.darts = cfg.darts_discriminator
         self.gan_mode = cfg.gan_mode
+        self.fused_d = cfg.fused_d_batch
         self.generator_only = cfg.generator_only
 
         self.G = SRResNet(n_channels=cfg.ngf, scaling_factor=cfg.upscale_factor,
@@ -218,10 +219,10 @@ class SRGANEngine(CombinedStepMixin):
             # (last TD forward of the teacher step, SRGAN.py:397-405) ----
             def td_loss(td_params):
                 v = {**nets["td"], "params": td_params}
-                pr, v, _ = apply_net(self.TD, v, real_in)
-                pf, v, td_feats = apply_net(
-                    self.TD, v, jax.lax.stop_gradient(t_fake_in),
-                    capture=True)
+                pr, pf, v, td_feats = d_pair(
+                    self.TD, v, real_in,
+                    jax.lax.stop_gradient(t_fake_in),
+                    fused=self.fused_d, capture_b=True)
                 loss = gan_loss(pr, True, self.gan_mode) \
                     + gan_loss(pf, False, self.gan_mode)
                 return loss, (v, td_feats)
@@ -286,8 +287,8 @@ class SRGANEngine(CombinedStepMixin):
         # ---- student D update ----
         def d_loss(d_params):
             v = {**nets["d"], "params": d_params}
-            pr, v, _ = apply_net(self.D, v, real_in)
-            pf, v, _ = apply_net(self.D, v, fake_in)
+            pr, pf, v = d_pair(self.D, v, real_in, fake_in,
+                               fused=self.fused_d)
             lf = gan_loss(pf, False, self.gan_mode)
             lr_ = gan_loss(pr, True, self.gan_mode)
             return lf + lr_, (v, lf, lr_)
