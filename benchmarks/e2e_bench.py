@@ -11,11 +11,14 @@ train.py:147-151 — the input pipeline must sustain 2x the step's batch
 rate.
 
 Reports sustained img/s, the device-resident step rate measured in the
-SAME harness, and loader occupancy (their ratio), for the PIL path and the
-C++ native engine. Writes benchmarks/e2e_bench_result.json.
+SAME harness, and loader occupancy (their ratio), for five rungs: the PIL
+path, the C++ native engine, the packed zero-decode stream, the HBM
+device cache, and the device cache with cli.train's fused one-dispatch
+step (materializers traced INTO the cooperative step,
+data/device_cache.py:FusedCachedStep). Writes e2e_bench_result.json.
 
 Run: python benchmarks/e2e_bench.py [--smoke] [--batch 128] [--steps 30]
-     [--threads N] [--n 384]
+     [--threads N] [--n 384] [--only pil,native,packed,device,fused]
 """
 
 from __future__ import annotations
@@ -74,7 +77,7 @@ def build_engine(smoke: bool, batch: int, fused_d: bool = False):
 
 
 def run(args, root: str, native: bool, packed: bool = False,
-        device: bool = False) -> dict:
+        device: bool = False, fused_step: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     from gcc_tpu.config import Config
@@ -99,20 +102,33 @@ def run(args, root: str, native: bool, packed: bool = False,
             pack_dataset(dcfg, out_dir=packed_root, num_threads=args.threads)
             print(f"pack time: {time.perf_counter() - t0:.1f}s", flush=True)
         dcfg = dcfg.replace(dataroot=packed_root)
+    fstep = None
     if device:
         # HBM-resident store: batches materialize on device, the host ships
         # only crop/flip/index params (data/device_cache.py)
         from gcc_tpu.data.packed import PackedDataset
-        from gcc_tpu.data.device_cache import DeviceCacheLoader
+        from gcc_tpu.data.device_cache import (DeviceCacheLoader,
+                                               FusedCachedStep,
+                                               InfiniteParams)
         t0 = time.perf_counter()
-        train_iter = InfiniteLoader(DeviceCacheLoader(
+        train_dcl = DeviceCacheLoader(
             PackedDataset(dcfg, seed=0, out_dtype="uint8"), args.batch,
-            dtype=dtype, seed=0))
-        val_iter = InfiniteLoader(DeviceCacheLoader(
+            dtype=dtype, seed=0)
+        val_dcl = DeviceCacheLoader(
             PackedDataset(dcfg, seed=1, out_dtype="uint8"), args.batch,
-            dtype=dtype, seed=1))
+            dtype=dtype, seed=1)
         print(f"device-cache upload: {time.perf_counter() - t0:.1f}s",
               flush=True)
+        if fused_step:
+            # cli.train's one-dispatch path: the materializers are traced
+            # INTO the cooperative step; per iteration the host ships one
+            # packed int32 param matrix per stream (FusedCachedStep)
+            fstep = FusedCachedStep(eng, train_dcl, val_dcl)
+            train_iter = InfiniteParams(train_dcl)
+            val_iter = InfiniteParams(val_dcl)
+        else:
+            train_iter = InfiniteLoader(train_dcl)
+            val_iter = InfiniteLoader(val_dcl)
     else:
         train_iter = InfiniteLoader(create_dataset(dcfg, seed=0,
                                                    prefer_uint8=packed))
@@ -131,8 +147,16 @@ def run(args, root: str, native: bool, packed: bool = False,
         return float(jax.tree_util.tree_leaves(x)[0])
 
     state = eng.init_state(jax.random.PRNGKey(0), image_size=size)
-    # warm: compile + fill loader prefetch
-    tb, vb = fetch(train_iter), fetch(val_iter)
+    # warm: compile + fill loader prefetch. The step-only ceiling batch is
+    # a device-resident materialized batch in every mode, so `step_only`
+    # stays comparable across rungs.
+    if fstep is not None:
+        tb = {k: v for k, v in next(iter(train_dcl)).items()
+              if k in ("A", "B", "z", "real_img", "lr", "hr")}
+        vb = {k: v for k, v in next(iter(val_dcl)).items()
+              if k in ("A", "B", "z", "real_img", "lr", "hr")}
+    else:
+        tb, vb = fetch(train_iter), fetch(val_iter)
     for _ in range(2):
         state, m = eng.train_arch_step(state, tb, vb, 2e-4, 0.9)
     sync(m)
@@ -147,13 +171,31 @@ def run(args, root: str, native: bool, packed: bool = False,
 
     # --- composed: loader -> H2D -> step, overlapped ---
     data_wait = 0.0
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        tf0 = time.perf_counter()
-        tb, vb = fetch(train_iter), fetch(val_iter)
-        data_wait += time.perf_counter() - tf0
-        state, m = eng.train_arch_step(state, tb, vb, 2e-4, 0.9)
-    sync(m)
+    if fstep is not None:
+        # one-dispatch path: host prepares one packed param matrix per
+        # stream; materialize+train+arch is a single compiled program
+        targs, _ = next(train_iter)
+        vargs, _ = next(val_iter)
+        state, m = fstep.train_arch_step(state, targs, vargs, 2e-4, 0.9,
+                                         1e-4)  # compile the fused program
+        sync(m)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            tf0 = time.perf_counter()
+            targs, _ = next(train_iter)
+            vargs, _ = next(val_iter)
+            data_wait += time.perf_counter() - tf0
+            state, m = fstep.train_arch_step(state, targs, vargs, 2e-4,
+                                             0.9, 1e-4)
+        sync(m)
+    else:
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            tf0 = time.perf_counter()
+            tb, vb = fetch(train_iter), fetch(val_iter)
+            data_wait += time.perf_counter() - tf0
+            state, m = eng.train_arch_step(state, tb, vb, 2e-4, 0.9)
+        sync(m)
     dt = time.perf_counter() - t0
     sustained = args.batch * args.steps / dt
 
@@ -161,6 +203,7 @@ def run(args, root: str, native: bool, packed: bool = False,
         "native_loader": native,
         "packed": packed,
         "device_cache": device,
+        "fused_step": fused_step,
         "sustained_imgs_per_sec": round(sustained, 1),
         "step_only_imgs_per_sec": round(step_only, 1),
         "loader_occupancy": round(sustained / step_only, 3),
@@ -199,20 +242,22 @@ def main():
         jroot = os.path.join(root, "jpegs")
         make_jpegs(jroot, args.n, w=1024 if not args.smoke else 64,
                    h=512 if not args.smoke else 32)
-        names = {"pil": (False, False, False),
-                 "native": (True, False, False),
-                 "packed": (False, True, False),
-                 "device": (False, False, True)}
+        names = {"pil": (False, False, False, False),
+                 "native": (True, False, False, False),
+                 "packed": (False, True, False, False),
+                 "device": (False, False, True, False),
+                 "fused": (False, False, True, True)}
         selected = ([names[k] for k in args.only.split(",") if k]
                     if args.only else list(names.values()))
-        for native, packed, device in selected:
+        for native, packed, device, fused in selected:
             if native:
                 from gcc_tpu import native as native_mod
                 if not native_mod.available():
                     results.append({"native_loader": True,
                                     "skipped": "engine unavailable"})
                     continue
-            r = run(args, jroot, native, packed=packed, device=device)
+            r = run(args, jroot, native, packed=packed, device=device,
+                    fused_step=fused)
             print(json.dumps(r), flush=True)
             results.append(r)
 
@@ -225,10 +270,12 @@ def main():
                 doc = json.load(f)
             doc["ts"] = time.time()
             done = {(r.get("native_loader"), r.get("packed", False),
-                     r.get("device_cache", False)) for r in results}
+                     r.get("device_cache", False), r.get("fused_step", False))
+                    for r in results}
             doc["runs"] = [r for r in doc.get("runs", [])
                            if (r.get("native_loader"), r.get("packed", False),
-                               r.get("device_cache", False)) not in done]
+                               r.get("device_cache", False),
+                               r.get("fused_step", False)) not in done]
         doc["runs"].extend(results)
         with open(out_path, "w") as f:
             json.dump(doc, f, indent=1)
