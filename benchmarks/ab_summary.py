@@ -193,11 +193,22 @@ def verdict_table(stats):
         fam, task, ep = key
         s = stats[key]
         regime = REGIME.get((fam, task, ep), "?")
-        p = _binom_tail(s["gcc"], s["total"])
+        # verdict straight from the pooled one-sided sign test (the
+        # per-group 'concl' demands unanimous per-metric sweeps, which
+        # under-calls e.g. 24/30 at p=0.001); n.s. = majority without
+        # significance at 0.05
+        k, n = s["gcc"], s["total"]
+        p = min(_binom_tail(k, n), _binom_tail(n - k, n))
+        if 2 * k > n:
+            verdict = "GCC wins" if p <= 0.05 else "GCC ahead (n.s.)"
+        elif 2 * k < n:
+            verdict = "plain wins" if p <= 0.05 else "plain ahead (n.s.)"
+        else:
+            verdict = "parity"
         print(f"{fam + '/' + str(task) + '/' + str(ep) + 'ep':<28}"
               f"{regime:<34}{s['seeds']:>6}"
-              f"{str(s['gcc']) + '/' + str(s['total']):>12}"
-              f"{p:>9.3f}  {s['concl']}")
+              f"{str(k) + '/' + str(n):>12}"
+              f"{p:>9.3f}  {verdict}")
     print(
         "\nreading: in every capacity-starved experiment GCC's cooperative\n"
         "distillation wins the seed-metric sign test; with ample student\n"
