@@ -276,7 +276,13 @@ class FusedCachedStep:
             if swap_ab and "A" in b:
                 b = dict(b)
                 b["A"], b["B"] = b["B"], b["A"]
-            return b
+            # optimization_barrier: materialize the batch ONCE. Without it
+            # XLA's fusion pass treats the gather/crop/normalize chain as
+            # cheap and duplicates it into every consumer of the batch (G,
+            # D, distill taps), re-reading the HBM blobs per consumer —
+            # measured 5x the standalone materializer's device time
+            # (e2e_bench fused rung, r5). The barrier is numerics-free.
+            return jax.lax.optimization_barrier(b)
 
         if val_loader is not None:
             def fused(state, tdata, vdata, targs, vargs, lr, ema_beta,
