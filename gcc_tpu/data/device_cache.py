@@ -7,7 +7,8 @@ pay for 2x-batch-rate DARTS streams) the chip idles on transfers. This
 module uploads the packed uint8 blobs to device HBM ONCE and materializes
 batches entirely on device: the host draws only the randomized transform
 parameters (indices / crop offsets / flip bits — a few KB), and one jitted
-program does gather -> crop (dynamic_slice) -> flip -> normalize -> cast.
+program does gather -> crop+flip (row/col index gathers) -> normalize ->
+cast.
 
 Two consumption modes:
 
@@ -160,10 +161,25 @@ class DeviceCacheLoader(Loader):
 
         def crop_flip(data, j, x, y, flip, do_crop):
             img = data[j]  # (n, h, w, c) gather
-            if do_crop:
-                img = jax.vmap(lambda im, yy, xx: jax.lax.dynamic_slice(
-                    im, (yy, xx, 0), (cs, cs, im.shape[-1])))(img, y, x)
-            return jnp.where(flip[:, None, None, None], img[:, :, ::-1], img)
+            if not do_crop:
+                return jnp.where(flip[:, None, None, None],
+                                 img[:, :, ::-1], img)
+            # Crop+flip as row/col index gathers (take_along_axis), NOT
+            # vmap(dynamic_slice): the latter lowers to a sequential while
+            # loop building the batch via dynamic-update-slice, and inside
+            # a larger jit (FusedCachedStep) XLA loses the loop carry's
+            # in-place aliasing and copies the whole batch buffer once per
+            # image — measured 6x the standalone materializer cost, -28%
+            # end-to-end (benchmarks/fused_step_diag.py, r5). Index gathers
+            # carry no loop state and fuse cleanly; elements are identical
+            # (the flip folds into the column indices: cropped-then-flipped
+            # [i, k] = im[y+i, x+cs-1-k]).
+            ar = jnp.arange(cs, dtype=jnp.int32)
+            iy = y[:, None].astype(jnp.int32) + ar
+            img = jnp.take_along_axis(img, iy[:, :, None, None], axis=1)
+            ix = x[:, None].astype(jnp.int32) + jnp.where(
+                flip[:, None], cs - 1 - ar, ar)
+            return jnp.take_along_axis(img, ix[:, None, :, None], axis=2)
 
         if mode == "aligned":
             h, w, _ = shapes["A"]
